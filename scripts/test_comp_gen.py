@@ -1,0 +1,97 @@
+"""Compositional generation harness.
+
+Analog of reference test_comp_gen.py: encode slots, then cyclically shift
+each slot index across the batch (slot k comes from sample (b + k) % B,
+test_comp_gen.py:25-31) to compose novel scenes, decode with the diffusion
+decoder, and dump frames for external FID/FVD.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def shuffle_slots(slots):
+    """slots: [B, (T,) N, C] -> cyclic per-slot shuffle across batch."""
+    import numpy as np
+    B = slots.shape[0]
+    N = slots.shape[-2]
+    out = np.empty_like(slots)
+    for k in range(N):
+        out[..., k, :] = np.roll(slots[..., k, :], shift=k, axis=0)
+    return out
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--params", required=True)
+    parser.add_argument("--weight", required=True)
+    parser.add_argument("--bs", type=int, default=-1)
+    parser.add_argument("--out_dir", default="comp_gen_frames")
+    parser.add_argument("--max_batches", type=int, default=-1)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slotdiffusion_tpu.data import DataLoader, build_dataset
+    from slotdiffusion_tpu.models import build_model
+    from slotdiffusion_tpu.models.diffusion import LDM
+    from slotdiffusion_tpu.training.checkpoint import load_model_params
+    from slotdiffusion_tpu.utils import load_params, mkdir_or_exist
+    from slotdiffusion_tpu.utils.misc import save_image
+
+    params = load_params(args.params)
+    val_set = build_dataset(params, val_only=True)
+    bs = args.bs if args.bs > 0 else params.val_batch_size
+    loader = DataLoader(val_set, batch_size=bs, shuffle=False,
+                        drop_last=True,
+                        num_workers=params.get("num_workers", 4))
+    model = build_model(params)
+    variables = load_model_params(model, args.weight, params)
+
+    @jax.jit
+    def encode_fn(batch, rng):
+        out = model.apply(variables, batch, train=False,
+                          rngs={"diffusion": rng})
+        return out["slots"]
+
+    def decode(slots, rng):
+        flat = slots.reshape(-1, slots.shape[-2], slots.shape[-1])
+
+        def _dec(mdl, s, r):
+            x = mdl.dm_decoder.generate_imgs(
+                r, cond=s, use_dpm=True,
+                same_noise=params.get("same_noise", True))
+            if isinstance(mdl.dm_decoder, LDM):
+                x = mdl.dm_decoder.decode_latent(x)
+            return x
+
+        return model.apply(variables, jnp.asarray(flat), rng,
+                           method=_dec)
+
+    out_dir = mkdir_or_exist(args.out_dir)
+    count = 0
+    for i, np_batch in enumerate(loader):
+        if args.max_batches > 0 and i >= args.max_batches:
+            break
+        rng = jax.random.PRNGKey(i)
+        slots = np.asarray(jax.device_get(
+            encode_fn({"img": np_batch["img"]}, rng)))
+        slots = shuffle_slots(slots)
+        samples = np.asarray(jax.device_get(decode(slots, rng)))
+        x = np.clip(samples * 0.5 + 0.5, 0, 1)
+        for b in range(x.shape[0]):
+            save_image(x[b], os.path.join(out_dir, f"{count:06d}.png"))
+            count += 1
+        print(f"[{i}/{len(loader)}] wrote {count} frames")
+    print(f"DONE: {count} composed frames in {out_dir} "
+          f"(run external FID/FVD on them)")
+
+
+if __name__ == "__main__":
+    main()

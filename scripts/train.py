@@ -1,0 +1,73 @@
+"""Unified training CLI.
+
+The analog of reference scripts/train.py:16-118: pick a Python config file
+(`--params`), build dataset/model/method, fit with resume support. The
+reference's `--ddp` flag is subsumed by the mesh: data parallelism is on
+whenever >1 device is visible; `--fp16` maps to bf16 compute via
+`params.use_bf16`.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser(description="slotdiffusion-tpu trainer")
+    parser.add_argument("--params", required=True,
+                        help="path to a Python config file")
+    parser.add_argument("--weight", default="", help="resume checkpoint")
+    parser.add_argument("--ckp_path", default="",
+                        help="checkpoint dir (default: ./checkpoint/<cfg>)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 compute (the fp16/AMP analog)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force CPU backend (debug)")
+    parser.add_argument("--san_check_val_step", type=int, default=2)
+    parser.add_argument("--max_steps", type=int, default=-1,
+                        help="cap total optimizer steps (smoke tests)")
+    args = parser.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    from slotdiffusion_tpu.data import DataModule, build_dataset
+    from slotdiffusion_tpu.methods import build_method
+    from slotdiffusion_tpu.models import build_model
+    from slotdiffusion_tpu.utils import load_params
+
+    params = load_params(args.params)
+    if args.bf16:
+        params.use_bf16 = True
+    if args.max_steps > 0:
+        params.max_steps = args.max_steps
+
+    train_set, val_set = build_dataset(params)
+    datamodule = DataModule(
+        params, train_set, val_set,
+        process_index=jax.process_index(),
+        process_count=jax.process_count())
+
+    model = build_model(params)
+
+    ckp_path = args.ckp_path or os.path.join(
+        "checkpoint",
+        os.path.splitext(os.path.basename(args.params))[0])
+    method = build_method(
+        model=model, datamodule=datamodule, params=params,
+        ckp_path=ckp_path)
+
+    print(f"devices: {jax.devices()}")
+    print(f"training {params.model} for {params.max_epochs} epochs "
+          f"({method.total_steps} steps), ckpt -> {ckp_path}")
+    method.fit(resume_from=args.weight or None,
+               san_check_val_step=args.san_check_val_step)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Dataset dispatch by `params.dataset`.
+
+Real datasets (CLEVRTex/CelebA/MOVi/Physion/COCO/VOC) load from
+`params.data_root` when present on disk; the `synthetic` family needs no
+data and powers tests/benchmarks/smoke runs.
+"""
+
+import os
+
+
+def build_dataset(params, val_only=False):
+    name = params.dataset
+
+    if name == "synthetic":
+        from .synthetic import SyntheticImageDataset
+        res = tuple(params.resolution)
+        val_set = SyntheticImageDataset(
+            resolution=res, num_samples=params.get("val_samples", 64),
+            max_objects=params.get("max_objects", 4),
+            load_mask=params.get("load_mask", True), seed=1)
+        if val_only:
+            return val_set
+        train_set = SyntheticImageDataset(
+            resolution=res, num_samples=params.get("train_samples", 512),
+            max_objects=params.get("max_objects", 4),
+            load_mask=params.get("load_mask", True), seed=0)
+        return train_set, val_set
+
+    if name == "synthetic_video":
+        from .synthetic import SyntheticVideoDataset
+        res = tuple(params.resolution)
+        kw = dict(
+            resolution=res,
+            n_sample_frames=params.get("n_sample_frames", 3),
+            max_objects=params.get("max_objects", 4),
+            load_mask=params.get("load_mask", True))
+        val_set = SyntheticVideoDataset(
+            num_samples=params.get("val_samples", 32), seed=1, **kw)
+        if val_only:
+            return val_set
+        train_set = SyntheticVideoDataset(
+            num_samples=params.get("train_samples", 256), seed=0, **kw)
+        return train_set, val_set
+
+    if name == "synthetic_slots":
+        from .synthetic_slots import SyntheticSlotsDataset
+        kw = dict(
+            num_slots=params.slot_dict["num_slots"]
+            if params.get("slot_dict") else params.rollout_dict["num_slots"],
+            slot_size=params.slot_dict["slot_size"]
+            if params.get("slot_dict") else params.rollout_dict["slot_size"],
+            video_len=params.get("video_len", 16),
+            with_labels=params.get("with_labels", False))
+        val_set = SyntheticSlotsDataset(
+            num_samples=params.get("val_samples", 32), seed=1, **kw)
+        if val_only:
+            return val_set
+        train_set = SyntheticSlotsDataset(
+            num_samples=params.get("train_samples", 256), seed=0, **kw)
+        return train_set, val_set
+
+    if name == "clevrtex":
+        from .clevrtex import build_clevrtex_dataset
+        return build_clevrtex_dataset(params, val_only=val_only)
+    if name == "celeba":
+        from .celeba import build_celeba_dataset
+        return build_celeba_dataset(params, val_only=val_only)
+    if name in ("movi", "steve_movi"):
+        from .movi import build_movi_dataset
+        return build_movi_dataset(params, val_only=val_only)
+    if name == "physion":
+        from .physion import build_physion_dataset
+        return build_physion_dataset(params, val_only=val_only)
+    if name in ("physion_slots", "physion_slots_label",
+                "physion_slots_readout"):
+        from .physion_slots import build_physion_slots_dataset
+        return build_physion_slots_dataset(params, val_only=val_only)
+    if name == "coco":
+        from .coco import build_coco_dataset
+        return build_coco_dataset(params, val_only=val_only)
+    if name == "voc":
+        from .voc import build_voc_dataset
+        return build_voc_dataset(params, val_only=val_only)
+    raise ValueError(f"unknown dataset {name!r}")

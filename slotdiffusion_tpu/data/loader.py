@@ -1,0 +1,201 @@
+"""Host-side input pipeline.
+
+TPU-native replacement for PyTorch DataLoader + DistributedSampler +
+`nerv.training.BaseDataModule` (reference usage: scripts/train.py:21-27).
+Design:
+
+- `Dataset`: random-access protocol returning dicts of numpy arrays.
+- `DataLoader`: multi-threaded prefetching batcher producing fixed-shape
+  numpy batches (static shapes for XLA). Per-epoch shuffling is seeded and
+  deterministic. With multi-host JAX, each process loads only its shard of
+  every global batch (`process_index`-strided), replacing DistributedSampler.
+- Corrupted-sample retry: datasets may raise `SampleError`; the loader
+  resamples a random other index, mirroring the `_rand_another` pattern
+  (video_based/datasets/movi.py:54-60).
+
+Threads (not processes) suffice because decode work is numpy/PIL which
+releases the GIL; this avoids torch's worker-process serialization entirely.
+"""
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+
+class SampleError(Exception):
+    """Raised by datasets on corrupted/undecodable samples."""
+
+
+class Dataset:
+    """Random-access dataset protocol."""
+
+    def __len__(self):
+        raise NotImplementedError
+
+    def __getitem__(self, idx) -> Dict[str, np.ndarray]:
+        raise NotImplementedError
+
+
+def default_collate(samples):
+    """Stack a list of dict samples into a dict batch."""
+    out = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        if np.isscalar(vals[0]) or getattr(vals[0], "ndim", 1) == 0:
+            out[k] = np.asarray(vals)
+        else:
+            out[k] = np.stack(vals)
+    return out
+
+
+class DataLoader:
+    """Deterministic, prefetching, sharded batch loader."""
+
+    def __init__(
+        self,
+        dataset: Dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = True,
+        num_workers: int = 4,
+        collate_fn: Optional[Callable] = None,
+        seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
+        max_retries: int = 3,
+    ):
+        assert batch_size % process_count == 0, (
+            "global batch size must divide evenly across hosts")
+        self.dataset = dataset
+        self.global_batch_size = batch_size
+        self.local_batch_size = batch_size // process_count
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(num_workers, 1)
+        self.collate_fn = collate_fn or default_collate
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        self.max_retries = max_retries
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.global_batch_size
+        return (n + self.global_batch_size - 1) // self.global_batch_size
+
+    def _epoch_indices(self):
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        num_batches = len(self)
+        for b in range(num_batches):
+            batch = order[b * self.global_batch_size:(b + 1) *
+                          self.global_batch_size]
+            # host shard: strided slice of the global batch
+            yield batch[self.process_index::self.process_count]
+
+    def _fetch(self, idx):
+        rng = np.random.RandomState((self.seed + 1) * 7919 + int(idx))
+        for _ in range(self.max_retries + 1):
+            try:
+                return self.dataset[int(idx)]
+            except SampleError:
+                idx = rng.randint(0, len(self.dataset))
+        raise RuntimeError(
+            f"failed to load a valid sample after {self.max_retries} retries")
+
+    def _load_batch(self, indices):
+        return self.collate_fn([self._fetch(i) for i in indices])
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = list(self._epoch_indices())
+        if not batches:
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 2)
+        stop = threading.Event()
+        it_lock = threading.Lock()
+        it = iter(enumerate(batches))
+        results = {}
+        results_lock = threading.Lock()
+        results_cv = threading.Condition(results_lock)
+
+        def worker():
+            while not stop.is_set():
+                with it_lock:
+                    try:
+                        pos, indices = next(it)
+                    except StopIteration:
+                        return
+                try:
+                    batch = self._load_batch(indices)
+                except Exception as e:  # propagate to consumer
+                    batch = e
+                with results_cv:
+                    results[pos] = batch
+                    results_cv.notify_all()
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+        try:
+            for pos in range(len(batches)):
+                with results_cv:
+                    while pos not in results:
+                        results_cv.wait(timeout=60.0)
+                    batch = results.pop(pos)
+                if isinstance(batch, Exception):
+                    raise batch
+                yield batch
+        finally:
+            stop.set()
+
+
+class DataModule:
+    """Bundles train/val loaders, the `BaseDataModule` analog
+    (reference scripts/train.py:21-27)."""
+
+    def __init__(self, params, train_set, val_set, collate_fn=None,
+                 process_index=0, process_count=1):
+        self.params = params
+        self.train_set = train_set
+        self.val_set = val_set
+        self.train_loader = None
+        if train_set is not None:
+            self.train_loader = DataLoader(
+                train_set,
+                batch_size=params.train_batch_size * process_count
+                if params.get("batch_is_per_host", True) else
+                params.train_batch_size,
+                shuffle=True,
+                drop_last=True,
+                num_workers=params.get("num_workers", 4),
+                collate_fn=collate_fn,
+                seed=params.get("seed", 0),
+                process_index=process_index,
+                process_count=process_count,
+            )
+        self.val_loader = DataLoader(
+            val_set,
+            batch_size=params.get("val_batch_size", params.train_batch_size) *
+            (process_count if params.get("batch_is_per_host", True) else 1),
+            shuffle=False,
+            drop_last=False,
+            num_workers=params.get("num_workers", 4),
+            collate_fn=collate_fn,
+            seed=params.get("seed", 0),
+            process_index=process_index,
+            process_count=process_count,
+        )

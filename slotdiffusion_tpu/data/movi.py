@@ -1,0 +1,169 @@
+"""MOVi-[A-E] video datasets (+ the STEVE-MOVi Solid/Tex variants).
+
+Rebuild of video_based/datasets/movi.py and steve_movi.py: frame-folder
+videos (`{data_root}/MOVi-{L}/{split}/{video}/{frame:06d}.jpg` with
+grayscale `{frame:06d}_mask.png`), per-split clip indexing (train: every
+valid start idx; val: strided non-overlapping; test: one clip per video,
+movi.py:147-180), mask id suppression, full-video `get_video` API, cached
+split file lists, corrupted-frame retry via SampleError.
+
+The STEVE-MOVi variants (steve_movi.py:14-132) use a different on-disk
+layout (`{video}/{frame}.png` + RGB-coded masks that need merging); the
+class below handles both through `layout`.
+"""
+
+import os.path as osp
+
+import numpy as np
+from PIL import Image, ImageFile
+
+from ..utils.misc import dump_obj, glob_all, load_obj, mkdir_or_exist
+from .loader import Dataset, SampleError
+from .transforms import BaseTransforms, suppress_mask_idx
+
+ImageFile.LOAD_TRUNCATED_IMAGES = True
+
+def _cache_dir():
+    import os
+    return os.environ.get("SLOTDIFFUSION_CACHE",
+                          osp.expanduser("~/.cache/slotdiffusion_tpu"))
+
+
+class MOViDataset(Dataset):
+    """MOVi video clips. Sample: {'img': [T, H, W, 3] in [-1,1],
+    'masks': [T, H, W] int32 (optional), 'data_idx'}."""
+
+    def __init__(self, level, data_root, resolution, split="train",
+                 n_sample_frames=6, frame_offset=1, video_len=24,
+                 load_mask=False, layout="movi"):
+        level = level.upper()
+        if split == "val":
+            split = "validation"
+        assert split in ("train", "validation", "test")
+        self.level = level
+        self.split = split
+        self.layout = layout
+        self.data_root = osp.join(data_root, f"MOVi-{level}", split)
+        self.transforms = BaseTransforms(resolution)
+        self.n_sample_frames = n_sample_frames
+        self.frame_offset = frame_offset or 1
+        self.video_len = video_len
+        self.load_mask = load_mask
+        self.load_video = False  # full-video mode for test_seg etc.
+        self.valid_idx = self._index_clips()
+
+    # ------------------------------------------------------------------
+
+    def _frame_path(self, folder, i):
+        if self.layout == "movi":
+            return osp.join(folder, f"{i:06d}.jpg")
+        return osp.join(folder, f"{i}.png")
+
+    def _mask_path(self, folder, i):
+        if self.layout == "movi":
+            return osp.join(folder, f"{i:06d}_mask.png")
+        return osp.join(folder, f"{i}_mask.png")
+
+    def _index_clips(self):
+        cache = osp.join(_cache_dir(), "splits", "MOVi",
+                         f"{self.level}-{self.layout}", f"{self.split}.json")
+        if osp.isfile(cache):
+            self.files = load_obj(cache)
+        else:
+            self.files = glob_all(osp.join(self.data_root, "*"),
+                                  only_dir=True)
+            if not self.files:
+                raise FileNotFoundError(
+                    f"no MOVi videos under {self.data_root}")
+            mkdir_or_exist(osp.dirname(cache))
+            dump_obj(self.files, cache)
+        self.num_videos = len(self.files)
+        valid = []
+        span = (self.n_sample_frames - 1) * self.frame_offset
+        if self.split == "train":
+            for folder in self.files:
+                valid += [(folder, s)
+                          for s in range(self.video_len - span)]
+        elif self.split == "test":
+            valid = [(folder, 0) for folder in self.files]
+        else:  # validation: strided non-overlapping clips
+            size = self.n_sample_frames * self.frame_offset
+            for folder in self.files:
+                starts = []
+                for idx in range(0, self.video_len - size + 1, size):
+                    starts += [idx + i for i in range(self.frame_offset)]
+                valid += [(folder, s) for s in starts]
+        return valid
+
+    # ------------------------------------------------------------------
+
+    def _read_clip(self, folder, start, num):
+        frames, masks = [], []
+        for n in range(num):
+            i = start + n * self.frame_offset
+            try:
+                img = Image.open(self._frame_path(folder, i)).convert("RGB")
+            except (FileNotFoundError, OSError) as e:
+                raise SampleError(str(e))
+            frames.append(self.transforms(img))
+            if self.load_mask:
+                try:
+                    m = Image.open(self._mask_path(folder, i))
+                except (FileNotFoundError, OSError) as e:
+                    raise SampleError(str(e))
+                m = np.asarray(m)
+                if m.ndim == 3:  # RGB-coded (STEVE-MOVi) -> merge channels
+                    H, W = m.shape[:2]
+                    flat = (m[..., 0].astype(np.int64) * 256 +
+                            m[..., 1]) * 256 + m[..., 2]
+                    _, inv = np.unique(flat, return_inverse=True)
+                    m = inv.reshape(H, W).astype(np.int32)
+                masks.append(self.transforms.process_mask(m))
+        img = np.stack(frames).astype(np.float32)
+        if self.load_mask:
+            mask = suppress_mask_idx(np.stack(masks))
+            return img, mask
+        return img, None
+
+    def get_video(self, video_idx):
+        num = self.video_len // self.frame_offset
+        img, mask = self._read_clip(self.files[video_idx], 0, num)
+        out = {"video": img, "img": img, "data_idx": np.int32(video_idx)}
+        if mask is not None:
+            out["masks"] = mask
+        return out
+
+    def __len__(self):
+        if self.load_video:
+            return len(self.files)
+        return len(self.valid_idx)
+
+    def __getitem__(self, idx):
+        if self.load_video:
+            return self.get_video(idx)
+        folder, start = self.valid_idx[idx]
+        img, mask = self._read_clip(folder, start, self.n_sample_frames)
+        out = {"data_idx": np.int32(idx), "img": img}
+        if mask is not None:
+            out["masks"] = mask
+        return out
+
+
+def build_movi_dataset(params, val_only=False):
+    layout = "steve_movi" if params.dataset == "steve_movi" else "movi"
+    kw = dict(
+        level=params.movi_level,
+        data_root=params.data_root,
+        resolution=params.resolution,
+        n_sample_frames=params.n_sample_frames,
+        frame_offset=params.get("frame_offset", 1),
+        video_len=params.get("video_len", 24),
+        load_mask=params.load_mask,
+        layout=layout,
+    )
+    if val_only:
+        return MOViDataset(split="test", **kw)
+    val = MOViDataset(split="validation", **kw)
+    kw["load_mask"] = False  # masks not needed for training (movi.py:203)
+    train = MOViDataset(split="train", **kw)
+    return train, val

@@ -1,0 +1,277 @@
+"""Shared neural building blocks (flax.linen, NHWC layout).
+
+TPU-native equivalents of the reference's L1 layer:
+- `conv_norm_act` / `deconv_norm_act` conv blocks (`nerv.models`, used at
+  img_based/models/slot_attention.py:225-272)
+- `SoftPositionEmbed` / `build_grid` (video_based/models/utils.py:37-64)
+- sinusoidal `timestep_embedding` (video_based/models/unet/utils.py:70-92)
+- GroupNorm with fp32 accumulation, the analog of GroupNorm32
+  (video_based/models/unet/utils.py:108-124)
+
+All convs operate on NHWC tensors — the layout XLA:TPU prefers — instead of
+the reference's NCHW.
+"""
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# Matches PyTorch's default Conv2d initialization (kaiming_uniform with
+# a=sqrt(5)), which the reference relies on implicitly for its CNNs.
+conv_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform")
+default_dense_init = nn.initializers.lecun_normal()
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm computed in fp32 regardless of input dtype.
+
+    TPU analog of the reference's GroupNorm32 (unet/utils.py:108-124):
+    normalization statistics are accumulated in fp32 for bf16 activations.
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        num_groups = min(self.num_groups, x.shape[-1])
+        # find a divisor if channels not divisible by num_groups
+        while x.shape[-1] % num_groups != 0:
+            num_groups -= 1
+        out = nn.GroupNorm(
+            num_groups=num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return out.astype(orig_dtype)
+
+
+def get_norm(norm: str, dtype=jnp.float32):
+    """Map a norm name to a linen module factory. '' means identity."""
+    if not norm:
+        return None
+    if norm in ("gn", "group_norm", "groupnorm"):
+        return GroupNorm32(dtype=dtype)
+    if norm in ("ln", "layer_norm", "layernorm"):
+        return nn.LayerNorm(dtype=dtype)
+    raise ValueError(f"Unsupported norm: {norm!r}")
+
+
+def get_act(act: str) -> Optional[Callable]:
+    if not act:
+        return None
+    return {
+        "relu": nn.relu,
+        "silu": nn.silu,
+        "swish": nn.silu,
+        "gelu": nn.gelu,
+        "tanh": jnp.tanh,
+        "sigmoid": nn.sigmoid,
+        "leakyrelu": lambda x: nn.leaky_relu(x, 0.2),
+    }[act]
+
+
+class ConvNormAct(nn.Module):
+    """Conv2D -> (norm) -> (act). NHWC.
+
+    Equivalent of `nerv.models.conv_norm_act` as used by the reference's SA
+    CNN encoder (img_based/models/slot_attention.py:225-235).
+    """
+
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    norm: str = ""
+    act: str = "relu"
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.out_channels,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            use_bias=self.use_bias,
+            kernel_init=conv_kernel_init,
+            dtype=self.dtype,
+        )(x)
+        norm = get_norm(self.norm, self.dtype)
+        if norm is not None:
+            x = norm(x)
+        act = get_act(self.act)
+        if act is not None:
+            x = act(x)
+        return x
+
+
+class DeconvNormAct(nn.Module):
+    """ConvTranspose2D -> (norm) -> (act). NHWC.
+
+    Equivalent of `nerv.models.deconv_norm_act` used by the spatial-broadcast
+    decoder (img_based/models/slot_attention.py:259-272). With stride 2 and
+    'SAME' padding, output spatial size is exactly 2x the input, matching the
+    reference's kernel-5/stride-2/pad-2/output-pad-1 arithmetic
+    (`deconv_out_shape`).
+    """
+
+    out_channels: int
+    kernel_size: int = 5
+    stride: int = 2
+    norm: str = ""
+    act: str = "relu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.ConvTranspose(
+            self.out_channels,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            kernel_init=conv_kernel_init,
+            dtype=self.dtype,
+        )(x)
+        norm = get_norm(self.norm, self.dtype)
+        if norm is not None:
+            x = norm(x)
+        act = get_act(self.act)
+        if act is not None:
+            x = act(x)
+        return x
+
+
+def build_grid(resolution: Tuple[int, int]) -> jnp.ndarray:
+    """Return a [1, H, W, 4] grid of (y, x, 1-y, 1-x) in [0, 1].
+
+    Matches reference video_based/models/utils.py:37-44.
+    """
+    h, w = resolution
+    ys = jnp.linspace(0.0, 1.0, h)
+    xs = jnp.linspace(0.0, 1.0, w)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    grid = jnp.stack([gy, gx], axis=-1)  # [H, W, 2]
+    grid = grid[None]  # [1, H, W, 2]
+    return jnp.concatenate([grid, 1.0 - grid], axis=-1)  # [1, H, W, 4]
+
+
+class SoftPositionEmbed(nn.Module):
+    """Adds a learned linear projection of a normalized coordinate grid.
+
+    NHWC equivalent of reference SoftPositionEmbed
+    (video_based/models/utils.py:52-64).
+    """
+
+    hidden_size: int
+    resolution: Tuple[int, int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs):
+        # inputs: [B, H, W, C]
+        grid = build_grid(self.resolution).astype(self.dtype)
+        emb = nn.Dense(
+            self.hidden_size, dtype=self.dtype,
+            kernel_init=default_dense_init)(grid)
+        return inputs + emb
+
+
+class MLP(nn.Module):
+    """Simple MLP with configurable hidden dims and activation."""
+
+    hidden_dims: Sequence[int]
+    out_dim: int
+    act: str = "relu"
+    pre_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.pre_norm:
+            x = nn.LayerNorm(dtype=self.dtype)(x)
+        act = get_act(self.act)
+        for d in self.hidden_dims:
+            x = act(nn.Dense(d, dtype=self.dtype)(x))
+        return nn.Dense(self.out_dim, dtype=self.dtype)(x)
+
+
+def timestep_embedding(timesteps, dim, max_period=10000):
+    """Sinusoidal timestep embeddings.
+
+    Matches reference video_based/models/unet/utils.py:70-92: half cos / half
+    sin with frequencies exp(-log(max_period) * i / half).
+
+    Args:
+        timesteps: [B] float or int array of timestep indices.
+        dim: output embedding dimension.
+
+    Returns:
+        [B, dim] float32 embeddings.
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) *
+        jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def cosine_anneal(step, start_value, final_value, start_step, final_step):
+    """Cosine annealing from start_value to final_value over steps.
+
+    Matches reference steve_utils.py:54-69 (used to anneal dVAE gumbel tau).
+    Works with python scalars or jnp arrays.
+    """
+    if final_step <= start_step:
+        return final_value
+    a = 0.5 * (start_value - final_value)
+    b = 0.5 * (start_value + final_value)
+    progress = (step - start_step) / (final_step - start_step)
+    progress = jnp.clip(progress, 0.0, 1.0)
+    return b + a * jnp.cos(math.pi * progress)
+
+
+def linear_anneal(step, start_value, final_value, start_step, final_step):
+    """Linear annealing, the `linear_warmup` analog (steve_utils.py)."""
+    if final_step <= start_step:
+        return final_value
+    progress = (step - start_step) / (final_step - start_step)
+    progress = jnp.clip(progress, 0.0, 1.0)
+    return start_value + (final_value - start_value) * progress
+
+
+def gumbel_softmax(rng, logits, tau=1.0, hard=False, axis=-1):
+    """Gumbel-softmax with the exponential-sample trick.
+
+    Matches reference steve_utils.py:27-40: gumbels from -log(Exp(1)),
+    straight-through hard one-hot when `hard=True`.
+    """
+    eps = jnp.finfo(logits.dtype).tiny
+    exp_sample = jax.random.exponential(rng, logits.shape, logits.dtype)
+    gumbels = -jnp.log(jnp.maximum(exp_sample, eps))
+    y = jax.nn.softmax((logits + gumbels) / tau, axis=axis)
+    if hard:
+        idx = jnp.argmax(y, axis=axis)
+        y_hard = jax.nn.one_hot(idx, logits.shape[axis], axis=axis,
+                                dtype=y.dtype)
+        # straight-through: forward value = y_hard, gradient flows through y
+        y = y + jax.lax.stop_gradient(y_hard - y)
+    return y
+
+
+def straight_through(value, grad_path):
+    """Return `value` in the forward pass with gradients of `grad_path`."""
+    return grad_path + jax.lax.stop_gradient(value - grad_path)

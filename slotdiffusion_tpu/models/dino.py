@@ -1,0 +1,98 @@
+"""Frozen DINO ViT encoder.
+
+Rebuild of the reference DINO wrapper (video_based/models/dino.py:10-73):
+a frozen self-supervised ViT (facebook/dino-vits8/16, vitb8/16) whose patch
+tokens (CLS stripped) are reshaped to a [B, H/p, W/p, C] feature map.
+
+This environment has no network egress, so pretrained weights load from a
+local path when available (`SLOTDIFFUSION_DINO_WEIGHTS` pointing at an .npz
+of this module's param tree, or a HF directory convertible with
+`convert_hf_dino_npz`). Without weights the encoder still runs (random init)
+so the full SA-DINO pipeline is exercisable end-to-end.
+"""
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+WEIGHTS_ENV = "SLOTDIFFUSION_DINO_WEIGHTS"
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype, name="attn")(h, h)
+        x = x + h
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype)(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.dim, dtype=self.dtype)(h)
+        return x + h
+
+
+class DINOEncoder(nn.Module):
+    """ViT-S/B with patch size 8/16; returns patch-token feature map.
+
+    Frozen at use sites via stop_gradient (reference keeps it eval-frozen,
+    dino.py:56-60).
+    """
+
+    patch_size: int = 8
+    small_size: bool = True  # ViT-S (384-d) vs ViT-B (768-d)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img):
+        # img: [B, H, W, 3]
+        dim = 384 if self.small_size else 768
+        heads = 6 if self.small_size else 12
+        depth = 12
+        B, H, W, _ = img.shape
+        h, w = H // self.patch_size, W // self.patch_size
+        x = nn.Conv(dim, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    dtype=self.dtype, name="patch_embed")(img)
+        x = x.reshape(B, h * w, dim)
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, dim))
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, h * w + 1, dim))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(self.dtype), (B, 1, dim)), x],
+            axis=1) + pos.astype(self.dtype)
+        for i in range(depth):
+            x = ViTBlock(dim=dim, num_heads=heads, dtype=self.dtype,
+                         name=f"block{i}")(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        # strip CLS, back to a spatial map (reference dino.py:44-54)
+        x = x[:, 1:].reshape(B, h, w, dim)
+        return jax.lax.stop_gradient(x)
+
+
+def load_dino_weights(params):
+    """Overlay pretrained weights from SLOTDIFFUSION_DINO_WEIGHTS (.npz of
+    flattened param paths) onto a param tree; returns params unchanged if
+    unset/missing."""
+    path = os.environ.get(WEIGHTS_ENV, "")
+    if not os.path.isfile(path):
+        return params, False
+    data = np.load(path)
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    treedef = jax.tree_util.tree_structure(params)
+    leaves = []
+    for kpath, leaf in flat[0]:
+        key = "/".join(str(getattr(k, "key", k)) for k in kpath)
+        leaves.append(jnp.asarray(data[key]) if key in data else leaf)
+    return jax.tree_util.tree_unflatten(treedef, leaves), True

@@ -1,0 +1,99 @@
+"""Checkpoint IO and frozen-submodule surgery.
+
+Orbax-based save/restore lives on the Trainer; this module adds the
+cross-stage reuse the reference does with path-based `.pth` loading and
+prefix stripping (SURVEY.md §5: VQVAE.py:166-178, ldm_slotformer.py:124-129):
+
+- `load_model_params`: restore a Trainer checkpoint and return `{'params'}`
+  variables for eval scripts; prefers EMA weights when present.
+- `load_pretrained_subtree`: graft a previously-trained model's params into
+  a submodule subtree of a bigger model (VQ-VAE -> LDM.vae,
+  dVAE -> STEVE.dvae, LDM -> LDMSlotFormer.dm_decoder).
+"""
+
+import os
+
+import jax
+import numpy as np
+
+
+def _restore_raw(path):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
+def load_train_state(path):
+    """Restore a raw TrainState dict from an orbax checkpoint dir."""
+    return _restore_raw(path)
+
+
+def load_model_params(model, path, params=None, use_ema=True):
+    """-> variables {'params': ...} for `model.apply` from a Trainer ckpt.
+
+    When the checkpoint carries an EMA and the model declares an
+    `ema_filter_prefix`, EMA shadows are swapped in for that subtree
+    (matching the reference's eval-with-EMA, ddpm.py:133-147).
+    """
+    raw = _restore_raw(path)
+    p = raw["params"]
+    ema = raw.get("ema", None)
+    if use_ema and ema is not None and ema.get("shadow") is not None:
+        prefix = getattr(model, "ema_filter_prefix", None)
+        shadow = ema["shadow"]
+        if prefix is None:
+            p = shadow
+        else:
+            p = dict(p)
+            if prefix in shadow:
+                p[prefix] = shadow[prefix]
+    return {"params": p}
+
+
+def load_pretrained_subtree(variables, ckp_path, dst_path, src_path=""):
+    """Graft params from another checkpoint into a subtree.
+
+    Args:
+        variables: {'params': tree} of the composite model.
+        ckp_path: orbax checkpoint dir of the stage-1 model.
+        dst_path: '/'-separated subtree in the composite model, e.g.
+            'dm_decoder/vae/vqvae' or 'dvae'.
+        src_path: subtree inside the loaded checkpoint ('' = whole tree).
+
+    Returns new variables with the subtree replaced. Raises KeyError on
+    structure mismatch.
+    """
+    raw = _restore_raw(ckp_path)
+    src = raw["params"] if "params" in raw else raw
+    for k in [s for s in src_path.split("/") if s]:
+        src = src[k]
+
+    params = jax.tree_util.tree_map(lambda x: x, variables["params"])
+
+    node = params
+    keys = [s for s in dst_path.split("/") if s]
+    for k in keys[:-1]:
+        node = node[k]
+    dst = node[keys[-1]]
+    # structural check
+    dst_paths = {"/".join(str(getattr(p, "key", p)) for p in kp)
+                 for kp, _ in jax.tree_util.tree_flatten_with_path(dst)[0]}
+    src_paths = {"/".join(str(getattr(p, "key", p)) for p in kp)
+                 for kp, _ in jax.tree_util.tree_flatten_with_path(src)[0]}
+    missing = dst_paths - src_paths
+    if missing:
+        raise KeyError(
+            f"checkpoint {ckp_path} missing {len(missing)} params for "
+            f"subtree {dst_path}: {sorted(missing)[:5]}...")
+    def merge(d, s, path=""):
+        if isinstance(d, dict):
+            return {k: merge(v, s[k], f"{path}/{k}") for k, v in d.items()}
+        d_arr, s_arr = np.asarray(d), np.asarray(s)
+        if d_arr.shape != s_arr.shape:
+            raise ValueError(
+                f"shape mismatch at {dst_path}{path}: "
+                f"{d_arr.shape} vs {s_arr.shape}")
+        return s_arr.astype(d_arr.dtype)
+
+    node[keys[-1]] = merge(dst, src)
+    return {"params": params}

@@ -1,0 +1,368 @@
+"""Trainer — the TPU-native training engine.
+
+Replaces the external `nerv.training.BaseMethod` trainer the reference
+depends on (SURVEY.md §2.1; usage scripts/train.py:65-76). One jitted SPMD
+train step over a `data`-axis mesh subsumes what the reference assembles
+from DDP + AMP GradScaler + manual loops:
+
+- loss aggregation: the model returns a dict of named losses; each key
+  `foo_loss` is weighted by `params.foo_loss_w` (reference configs, e.g.
+  savi_ldm_movie_params-res128.py:137)
+- cosine warmup LR schedule incl. per-group LRs (img_based/method.py:77-85,
+  235-285), grad clipping (`clip_grad`), grad accumulation
+  (`grad_accum_steps`), all inside optax
+- EMA with LitEma warmup semantics (ddpm/ema.py), stored in TrainState and
+  swapped in for eval/sampling instead of mutating modules
+- step-scheduled scalars (dVAE gumbel tau annealing, SlotFormer loss decay —
+  video_based/method.py:549-567, vp_vqa/method.py:188-210) evaluated inside
+  the jitted step from `state.step`
+- orbax checkpointing with save_interval fractions of an epoch, resume,
+  and sanity-check validation (`san_check_val_step`, scripts/train.py:76)
+- bf16 autocast replaces AMP: modules take a compute dtype; params stay fp32
+
+The data-parallel contract matches the reference's `--ddp` flag
+(scripts/train.py:89): shard the batch, replicate params, XLA inserts the
+gradient all-reduce over ICI.
+"""
+
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..parallel.mesh import (batch_sharding, make_mesh, replicated_sharding,
+                             shard_batch)
+from ..utils.misc import AverageMeter, mkdir_or_exist
+from .ema import ExponentialMovingAverage, swap_ema_params
+from .optim import build_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema: Optional[ExponentialMovingAverage]
+    rng: jnp.ndarray
+
+
+class JSONLLogger:
+    """Minimal metrics logger: stdout + JSONL file (wandb replacement;
+    the reference logs exclusively to wandb, scripts/train.py:58-63)."""
+
+    def __init__(self, log_dir, name="train", enabled=True):
+        self.enabled = enabled
+        self.path = None
+        if enabled and log_dir:
+            mkdir_or_exist(log_dir)
+            self.path = os.path.join(log_dir, f"{name}_log.jsonl")
+
+    def log(self, record: Dict, step: int):
+        if not self.enabled:
+            return
+        record = {
+            k: (float(v) if not isinstance(v, str) else v)
+            for k, v in record.items()
+        }
+        record["step"] = int(step)
+        record["time"] = time.time()
+        if self.path:
+            with open(self.path, "a") as f:
+                f.write(json.dumps(record) + "\n")
+
+
+class Trainer:
+    """Generic trainer over a (model, datamodule, params) triple.
+
+    Models implement:
+        compute_losses(batch, sched=None) -> (out_dict, loss_dict)
+    as a linen method (run under `.apply` with rngs). Losses named `*_loss`
+    are weighted by `params.get(f'{name}_w', 1.0)` and summed.
+    """
+
+    def __init__(
+        self,
+        model,
+        datamodule,
+        params,
+        ckp_path: Optional[str] = None,
+        step_scalars: Optional[Dict[str, Callable]] = None,
+        host_metrics_fn: Optional[Callable] = None,
+        rng_names=("diffusion", "gumbel", "dropout", "default"),
+        mesh=None,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.datamodule = datamodule
+        self.params = params
+        self.ckp_path = ckp_path
+        self.step_scalars = step_scalars or {}
+        self.host_metrics_fn = host_metrics_fn
+        self.rng_names = tuple(rng_names)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.seed = seed
+
+        self.max_epochs = params.max_epochs
+        self.steps_per_epoch = len(datamodule.train_loader) \
+            if datamodule.train_loader is not None else 0
+        self.total_steps = self.max_epochs * self.steps_per_epoch
+        self.max_steps = params.get("max_steps", -1)  # smoke-test cap
+        self.print_iter = params.get("print_iter", 50)
+        self.save_interval = params.get("save_interval", 1.0)
+        self.eval_interval = params.get("eval_interval", 1)
+        self.clip_grad = params.get("clip_grad", -1)
+        self.grad_accum_steps = params.get("grad_accum_steps", 1)
+
+        self.logger = JSONLLogger(
+            ckp_path, enabled=jax.process_index() == 0)
+
+        # loss weights captured statically for the jitted step
+        self._loss_weights = {}
+        for k in params.keys():
+            if k.endswith("_loss_w"):
+                self._loss_weights[k[:-2]] = float(params.get(k))
+
+        self.use_ema = bool(getattr(model, "use_ema", False) or
+                            params.get("use_ema", False))
+        self.ema_decay = params.get("ema_decay", 0.9999)
+        # path prefix of the subtree the EMA swap applies to at eval
+        self.ema_filter_prefix = getattr(model, "ema_filter_prefix", None)
+
+        self._train_step = None
+        self._eval_step = None
+        self.state = None
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+
+    def _init_state(self, sample_batch):
+        rng = jax.random.PRNGKey(self.seed)
+        init_rngs = {n: jax.random.fold_in(rng, i)
+                     for i, n in enumerate(("params",) + self.rng_names)}
+        variables = self.model.init(
+            init_rngs, sample_batch, method=getattr(
+                self.model, "compute_losses"),
+            sched=self._sched_dict(jnp.zeros((), jnp.int32)))
+        params = variables["params"]
+
+        lr_groups = self.params.get("lr_groups", None)
+        self.tx, self.lr_schedule = build_optimizer(
+            params,
+            lr=self.params.lr,
+            total_steps=max(self.total_steps, 1),
+            warmup_steps=int(
+                self.params.get("warmup_steps_pct", 0.0) *
+                max(self.total_steps, 1)),
+            min_lr=self.params.get("min_lr", 0.0),
+            weight_decay=self.params.get("weight_decay", 0.0),
+            clip_grad=self.clip_grad,
+            grad_accum_steps=self.grad_accum_steps,
+            lr_groups=lr_groups,
+            optimizer=self.params.get("optimizer", "adam"),
+        )
+        opt_state = self.tx.init(params)
+        ema = ExponentialMovingAverage.create(
+            params, decay=self.ema_decay) if self.use_ema else None
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=opt_state,
+            ema=ema,
+            rng=rng,
+        )
+        # replicate across the mesh
+        rep = replicated_sharding(self.mesh)
+        return jax.device_put(state, rep)
+
+    def _sched_dict(self, step):
+        return {k: fn(step) for k, fn in self.step_scalars.items()} or None
+
+    def _make_rngs(self, rng, step):
+        base = jax.random.fold_in(rng, step)
+        return {n: jax.random.fold_in(base, i)
+                for i, n in enumerate(self.rng_names)}
+
+    def _weighted_total(self, loss_dict):
+        total = 0.0
+        for k, v in loss_dict.items():
+            if k.endswith("_loss"):
+                total = total + self._loss_weights.get(f"{k}_w", 1.0) * v
+        return total
+
+    def _build_steps(self):
+        model = self.model
+
+        def train_step(state: TrainState, batch):
+            sched = self._sched_dict(state.step)
+            rngs = self._make_rngs(state.rng, state.step)
+
+            def loss_fn(p):
+                out, losses = model.apply(
+                    {"params": p}, batch, sched=sched, train=True,
+                    rngs=rngs, method=model.compute_losses)
+                return self._weighted_total(losses), losses
+
+            (total, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, new_opt_state = self.tx.update(
+                grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_ema = state.ema.update(new_params) \
+                if state.ema is not None else None
+            metrics = {f"train/{k}": v for k, v in losses.items()}
+            metrics["train/total_loss"] = total
+            metrics["train/grad_norm"] = optax.global_norm(grads)
+            new_state = state.replace(
+                step=state.step + 1,
+                params=new_params,
+                opt_state=new_opt_state,
+                ema=new_ema,
+            )
+            return new_state, metrics
+
+        def eval_step(state: TrainState, batch):
+            p = state.params
+            if state.ema is not None:
+                prefix = self.ema_filter_prefix
+                if prefix is None:
+                    p_ema = state.ema.shadow
+                else:
+                    p_ema = swap_ema_params(
+                        p, state.ema,
+                        lambda path: path.startswith(prefix))
+            sched = self._sched_dict(state.step)
+            rngs = self._make_rngs(jax.random.PRNGKey(self.seed + 1),
+                                   state.step)
+            out, losses = model.apply(
+                {"params": p}, batch, sched=sched, train=False,
+                rngs=rngs, method=model.compute_losses)
+            if state.ema is not None:
+                _, ema_losses = model.apply(
+                    {"params": p_ema}, batch, sched=sched, train=False,
+                    rngs=rngs, method=model.compute_losses)
+                losses.update(
+                    {f"{k}_ema": v for k, v in ema_losses.items()})
+            return out, losses
+
+        rep = replicated_sharding(self.mesh)
+        data = batch_sharding(self.mesh)
+        self._train_step = jax.jit(
+            train_step,
+            in_shardings=(rep, data),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(
+            eval_step, in_shardings=(rep, data), out_shardings=(rep, rep))
+
+    # ------------------------------------------------------------------
+    # checkpointing (orbax)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, tag="last"):
+        if self.ckp_path is None or jax.process_index() != 0:
+            return
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(os.path.join(self.ckp_path, f"ckpt_{tag}"))
+        ckptr = ocp.StandardCheckpointer()
+        state_host = jax.device_get(self.state)
+        ckptr.save(path, state_host, force=True)
+        ckptr.wait_until_finished()
+
+    def load_checkpoint(self, path):
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        abstract = jax.device_get(self.state)
+        restored = ckptr.restore(os.path.abspath(path), abstract)
+        self.state = jax.device_put(restored,
+                                    replicated_sharding(self.mesh))
+
+    # ------------------------------------------------------------------
+    # loops
+    # ------------------------------------------------------------------
+
+    def fit(self, resume_from=None, san_check_val_step=2):
+        loader = self.datamodule.train_loader
+        sample_batch = next(iter(loader))
+        sample_batch = shard_batch(sample_batch, self.mesh)
+        if self.state is None:
+            self.state = self._init_state(sample_batch)
+        if self._train_step is None:
+            self._build_steps()
+        if resume_from:
+            self.load_checkpoint(resume_from)
+
+        if san_check_val_step:
+            self.validate(max_steps=san_check_val_step)
+
+        start_step = int(jax.device_get(self.state.step))
+        start_epoch = start_step // max(self.steps_per_epoch, 1)
+        save_every = max(int(self.save_interval * self.steps_per_epoch), 1)
+        t0 = time.time()
+        for epoch in range(start_epoch, self.max_epochs):
+            loader.set_epoch(epoch)
+            for batch in loader:
+                batch = shard_batch(batch, self.mesh)
+                self.state, metrics = self._train_step(self.state, batch)
+                step = int(jax.device_get(self.state.step))
+                if self.max_steps > 0 and step >= self.max_steps:
+                    print(f"[max_steps {self.max_steps} reached]")
+                    self.save_checkpoint("last")
+                    self.validate(max_steps=4)
+                    return
+                if step % self.print_iter == 0:
+                    metrics = jax.device_get(metrics)
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    metrics["lr"] = float(self.lr_schedule(step))
+                    metrics["epoch"] = epoch
+                    dt = time.time() - t0
+                    metrics["steps_per_sec"] = self.print_iter / max(dt, 1e-9)
+                    t0 = time.time()
+                    if jax.process_index() == 0:
+                        print(f"[step {step}] " + " ".join(
+                            f"{k}={v:.5g}" for k, v in metrics.items()
+                            if not isinstance(v, str)))
+                    self.logger.log(metrics, step)
+                if step % save_every == 0:
+                    self.save_checkpoint("last")
+            if self.params.get("save_epoch_end", False):
+                self.save_checkpoint(f"epoch{epoch + 1}")
+            if (epoch + 1) % self.eval_interval == 0:
+                self.validate()
+        self.save_checkpoint("final")
+
+    def validate(self, max_steps=None):
+        if self.state is None:
+            batch = next(iter(self.datamodule.val_loader))
+            self.state = self._init_state(shard_batch(batch, self.mesh))
+        if self._eval_step is None:
+            self._build_steps()
+        meters: Dict[str, AverageMeter] = {}
+        for i, batch in enumerate(self.datamodule.val_loader):
+            if max_steps is not None and i >= max_steps:
+                break
+            np_batch = batch
+            batch = shard_batch(batch, self.mesh)
+            out, losses = self._eval_step(self.state, batch)
+            losses = {k: float(v) for k, v in jax.device_get(losses).items()}
+            if self.host_metrics_fn is not None:
+                losses.update(self.host_metrics_fn(
+                    np_batch, jax.device_get(out)))
+            bs = next(iter(np_batch.values())).shape[0]
+            for k, v in losses.items():
+                meters.setdefault(k, AverageMeter()).update(v, bs)
+        results = {f"val/{k}": m.avg for k, m in meters.items()}
+        if jax.process_index() == 0 and results:
+            step = int(jax.device_get(self.state.step))
+            print(f"[val @ step {step}] " + " ".join(
+                f"{k}={v:.5g}" for k, v in results.items()))
+            self.logger.log(results, step)
+        return results

@@ -1,0 +1,113 @@
+"""Host-side utility helpers.
+
+TPU-native replacements for the `nerv.utils` surface the reference relies on
+(reference usage: video_based/datasets/movi.py:10, test_recon.py:13):
+`load_obj/dump_obj` (pkl/json IO), `glob_all`, `save_video`, `AverageMeter`,
+`mkdir_or_exist`, `read_all_lines`.
+"""
+
+import glob
+import json
+import os
+import pickle
+
+import numpy as np
+
+
+class AverageMeter:
+    """Tracks a running average of a scalar metric.
+
+    NaN values are skipped, matching the reference's use of np.nanmean in
+    metric aggregation (img_based/models/eval_utils.py:328).
+    """
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n=1):
+        val = float(val)
+        if np.isnan(val):
+            return
+        self.val = val
+        self.sum += val * n
+        self.count += n
+
+    @property
+    def avg(self):
+        return self.sum / self.count if self.count > 0 else 0.0
+
+
+def mkdir_or_exist(path):
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def load_obj(path):
+    """Load a pickle (.pkl) or json (.json) file."""
+    if path.endswith(".json"):
+        with open(path, "r") as f:
+            return json.load(f)
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def dump_obj(obj, path):
+    """Dump to pickle (.pkl) or json (.json) depending on extension."""
+    mkdir_or_exist(os.path.dirname(os.path.abspath(path)))
+    if path.endswith(".json"):
+        with open(path, "w") as f:
+            json.dump(obj, f)
+        return
+    with open(path, "wb") as f:
+        pickle.dump(obj, f)
+
+
+def glob_all(pattern, only_dir=False):
+    """Sorted glob; optionally restrict to directories."""
+    files = sorted(glob.glob(pattern))
+    if only_dir:
+        files = [f for f in files if os.path.isdir(f)]
+    return files
+
+
+def read_all_lines(path):
+    with open(path, "r") as f:
+        return [line.rstrip("\n") for line in f.readlines()]
+
+
+def to_rgb_from_tensor(x):
+    """Undo the [-1, 1] normalization back to [0, 1].
+
+    Matches reference video_based/models/utils.py:47-49.
+    """
+    return np.clip(np.asarray(x) * 0.5 + 0.5, 0.0, 1.0)
+
+
+def save_video(frames, path, fps=8):
+    """Save a [T, H, W, 3] uint8 or float [0,1] array as an mp4/gif.
+
+    Replacement for `nerv.utils.save_video` (reference: test_recon.py:130).
+    """
+    import imageio
+
+    frames = np.asarray(frames)
+    if frames.dtype != np.uint8:
+        frames = (np.clip(frames, 0.0, 1.0) * 255.0).astype(np.uint8)
+    mkdir_or_exist(os.path.dirname(os.path.abspath(path)))
+    imageio.mimsave(path, list(frames), fps=fps)
+
+
+def save_image(img, path):
+    """Save a [H, W, 3] uint8 or float [0,1] array as an image file."""
+    import imageio
+
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        img = (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+    mkdir_or_exist(os.path.dirname(os.path.abspath(path)))
+    imageio.imwrite(path, img)

@@ -1,0 +1,30 @@
+"""Test configuration: run everything on a simulated 8-device CPU mesh.
+
+The reference has no unit tests (SURVEY.md §4); this suite is new. Multi-chip
+sharding logic is validated on virtual CPU devices per JAX's standard recipe.
+Must set env vars before jax initializes its backends.
+"""
+
+import os
+
+# hard-set: the image presets JAX_PLATFORMS=axon (real TPU via tunnel);
+# unit tests must run on virtual CPU devices
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# numeric-parity tests compare against float64 numpy references
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)

@@ -1,0 +1,119 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slotdiffusion_tpu.models.slot_attention import SlotAttention
+
+
+def _make(return_last_attn=False, num_iterations=2):
+    return SlotAttention(
+        num_iterations=num_iterations,
+        slot_size=64,
+        mlp_hidden_size=128,
+        return_last_attn=return_last_attn,
+    )
+
+
+def test_shapes_and_determinism():
+    B, N, C, S, D = 2, 49, 32, 5, 64
+    mod = _make()
+    key = jax.random.PRNGKey(0)
+    inputs = jax.random.normal(key, (B, N, C))
+    slots0 = jax.random.normal(jax.random.PRNGKey(1), (B, S, D))
+    params = mod.init(jax.random.PRNGKey(2), inputs, slots0)
+    out1 = mod.apply(params, inputs, slots0)
+    out2 = mod.apply(params, inputs, slots0)
+    assert out1.shape == (B, S, D)
+    np.testing.assert_allclose(out1, out2)
+
+
+def test_wmask_returns_softmax_over_slots():
+    B, N, C, S, D = 2, 16, 32, 4, 64
+    mod = _make(return_last_attn=True)
+    inputs = jax.random.normal(jax.random.PRNGKey(0), (B, N, C))
+    slots0 = jax.random.normal(jax.random.PRNGKey(1), (B, S, D))
+    params = mod.init(jax.random.PRNGKey(2), inputs, slots0)
+    slots, masks = mod.apply(params, inputs, slots0)
+    assert slots.shape == (B, S, D)
+    assert masks.shape == (B, S, N)
+    # mask is a softmax over slots -> sums to 1 over the slot dim
+    np.testing.assert_allclose(np.asarray(masks).sum(1), 1.0, atol=1e-5)
+
+
+def test_matches_manual_reference_math():
+    """One iteration of SA must equal a hand-computed numpy reference of the
+    math at reference slot_attention.py:78-102."""
+    B, N, C, S, D = 1, 8, 16, 3, 32
+    mod = SlotAttention(num_iterations=1, slot_size=D, mlp_hidden_size=64)
+    inputs = jax.random.normal(jax.random.PRNGKey(0), (B, N, C))
+    slots0 = jax.random.normal(jax.random.PRNGKey(1), (B, S, D))
+    variables = mod.init(jax.random.PRNGKey(2), inputs, slots0)
+    out = np.asarray(mod.apply(variables, inputs, slots0))
+
+    p = variables["params"]
+
+    def ln(x, scale, bias, eps=1e-6):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + eps) * scale + bias
+
+    x = ln(np.asarray(inputs), np.asarray(p["norm_inputs"]["scale"]),
+           np.asarray(p["norm_inputs"]["bias"]))
+    k = x @ np.asarray(p["project_k"]["kernel"])
+    v = x @ np.asarray(p["project_v"]["kernel"])
+    q = ln(np.asarray(slots0), np.asarray(p["norm_q"]["scale"]),
+           np.asarray(p["norm_q"]["bias"])) @ np.asarray(
+               p["project_q"]["kernel"])
+    logits = (D ** -0.5) * np.einsum("bnd,bsd->bns", k, q)
+    attn = np.exp(logits - logits.max(-1, keepdims=True))
+    attn = attn / attn.sum(-1, keepdims=True)
+    attn = attn + 1e-6
+    attn = attn / attn.sum(1, keepdims=True)
+    updates = np.einsum("bns,bnd->bsd", attn, v)
+
+    # flax GRUCell math (same gate equations as torch.nn.GRUCell)
+    g = p["gru"]
+    i = updates.reshape(B * S, D)
+    h = np.asarray(slots0).reshape(B * S, D)
+
+    def sigmoid(a):
+        return 1.0 / (1.0 + np.exp(-a))
+
+    r = sigmoid(i @ np.asarray(g["ir"]["kernel"]) +
+                np.asarray(g["ir"]["bias"]) + h @ np.asarray(g["hr"]["kernel"]))
+    z = sigmoid(i @ np.asarray(g["iz"]["kernel"]) +
+                np.asarray(g["iz"]["bias"]) + h @ np.asarray(g["hz"]["kernel"]))
+    n = np.tanh(i @ np.asarray(g["in"]["kernel"]) +
+                np.asarray(g["in"]["bias"]) +
+                r * (h @ np.asarray(g["hn"]["kernel"]) +
+                     np.asarray(g["hn"]["bias"])))
+    new_h = (1.0 - z) * n + z * h
+    slots = new_h.reshape(B, S, D)
+    y = ln(slots, np.asarray(p["norm_mlp"]["scale"]),
+           np.asarray(p["norm_mlp"]["bias"]))
+    y = np.maximum(y @ np.asarray(p["mlp_fc1"]["kernel"]) +
+                   np.asarray(p["mlp_fc1"]["bias"]), 0.0)
+    y = y @ np.asarray(p["mlp_fc2"]["kernel"]) + np.asarray(
+        p["mlp_fc2"]["bias"])
+    expected = slots + y
+
+    np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-5)
+
+
+def test_jit_and_grad():
+    B, N, C, S, D = 2, 16, 32, 4, 64
+    mod = _make()
+    inputs = jax.random.normal(jax.random.PRNGKey(0), (B, N, C))
+    slots0 = jax.random.normal(jax.random.PRNGKey(1), (B, S, D))
+    params = mod.init(jax.random.PRNGKey(2), inputs, slots0)
+
+    @jax.jit
+    def loss_fn(params, inputs, slots0):
+        out = mod.apply(params, inputs, slots0)
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss_fn)(params, inputs, slots0)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
