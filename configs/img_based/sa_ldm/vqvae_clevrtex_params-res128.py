@@ -1,0 +1,12 @@
+"""VQ-VAE stage-1 on CLEVRTex, 128x128.
+
+Mirrors reference img_based/configs/sa_ldm/vqvae_clevrtex_params-res128.py — same model/data/optimizer scales; see
+slotdiffusion_tpu/configs_base.py for the shared family settings.
+"""
+
+from slotdiffusion_tpu.configs_base import VQVAEImgBase, vqvae_enc_dec_dict
+
+
+class SlotAttentionParams(VQVAEImgBase):
+    dataset = "clevrtex"
+    data_root = "./data/CLEVRTex"

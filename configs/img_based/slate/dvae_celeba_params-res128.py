@@ -1,0 +1,12 @@
+"""dVAE tokenizer stage-1 on CelebA, 128x128.
+
+Mirrors reference img_based/configs/slate/dvae_celeba_params-res128.py — same model/data/optimizer scales; see
+slotdiffusion_tpu/configs_base.py for the shared family settings.
+"""
+
+from slotdiffusion_tpu.configs_base import DVAEImgBase
+
+
+class SlotAttentionParams(DVAEImgBase):
+    dataset = "celeba"
+    data_root = "./data/CelebA"

@@ -1,0 +1,12 @@
+"""dVAE tokenizer stage-1 on CLEVRTex, 128x128.
+
+Mirrors reference img_based/configs/slate/dvae_clevrtex_params-res128.py — same model/data/optimizer scales; see
+slotdiffusion_tpu/configs_base.py for the shared family settings.
+"""
+
+from slotdiffusion_tpu.configs_base import DVAEImgBase
+
+
+class SlotAttentionParams(DVAEImgBase):
+    dataset = "clevrtex"
+    data_root = "./data/CLEVRTex"

@@ -68,13 +68,15 @@ def build_dataset(params, val_only=False):
     if name in ("movi", "steve_movi"):
         from .movi import build_movi_dataset
         return build_movi_dataset(params, val_only=val_only)
-    if name == "physion":
-        from .physion import build_physion_dataset
-        return build_physion_dataset(params, val_only=val_only)
-    if name in ("physion_slots", "physion_slots_label",
-                "physion_slots_readout"):
+    # reference dataset-name forms: 'physion_training' (savi_ldm configs),
+    # 'physion_slots_training' (slotformer), 'physion_slots_label_readout' /
+    # 'physion_slots_label_test' (readout / VQA eval)
+    if name.startswith("physion_slots") or name == "physion_slots":
         from .physion_slots import build_physion_slots_dataset
         return build_physion_slots_dataset(params, val_only=val_only)
+    if name == "physion" or name.startswith("physion_"):
+        from .physion import build_physion_dataset
+        return build_physion_dataset(params, val_only=val_only)
     if name == "coco":
         from .coco import build_coco_dataset
         return build_coco_dataset(params, val_only=val_only)

@@ -147,8 +147,12 @@ def build_physion_slots_dataset(params, val_only=False):
     slots_path = params.slots_root
     video_slots = load_obj(slots_path)
     name = params.dataset
-    subset = params.get("subset", "readout" if "label" in name or
-                        "readout" in name else "training")
+    tail = name.split("_")[-1]
+    if tail in ("training", "readout", "test"):
+        subset = tail
+    else:
+        subset = params.get("subset", "readout" if "label" in name or
+                            "readout" in name else "training")
     common = dict(
         data_root=params.data_root,
         resolution=params.resolution,

@@ -27,10 +27,15 @@ Dtype = Any
 
 
 class SAViStep(nn.Module):
-    """One frame step: predictor(prev_slots) -> SlotAttention(feat, init)."""
+    """One frame step: predictor(prev_slots) -> SlotAttention(feat, init).
+
+    `with_mask` is static: when False the per-step output is slots only, so
+    nn.scan never has to stack a placeholder (a 0-d placeholder breaks the
+    scan out_axes transpose)."""
 
     slot_attention: nn.Module
     predictor: Optional[nn.Module]
+    with_mask: bool = False
 
     def __call__(self, carry, feat_t):
         prev_slots, pred_carry = carry
@@ -39,11 +44,11 @@ class SAViStep(nn.Module):
         else:
             latents = prev_slots
         out = self.slot_attention(feat_t, latents)
-        if isinstance(out, tuple):
+        if self.with_mask:
             slots, mask = out
-        else:
-            slots, mask = out, jnp.zeros(())
-        return (slots, pred_carry), (slots, mask)
+            return (slots, pred_carry), (slots, mask)
+        slots = out
+        return (slots, pred_carry), (slots,)
 
 
 class SAVi(nn.Module):
@@ -96,7 +101,8 @@ class SAVi(nn.Module):
         else:
             self.decoder = None
         self.step_module = SAViStep(
-            slot_attention=self.slot_attention, predictor=self.predictor)
+            slot_attention=self.slot_attention, predictor=self.predictor,
+            with_mask=self.return_mask)
 
     def _pred_zero_carry(self, B):
         if self.predictor is None or not hasattr(self.predictor,
@@ -126,26 +132,24 @@ class SAVi(nn.Module):
             # frame 0: SA directly from learned init
             init0 = jnp.tile(self.init_latents.astype(self.dtype), (B, 1, 1))
             out0 = self.slot_attention(feats[:, 0], init0)
-            slots0, mask0 = out0 if isinstance(out0, tuple) \
-                else (out0, jnp.zeros(()))
+            if self.return_mask:
+                slots0, mask0 = out0
+            else:
+                slots0, mask0 = out0, None
             carry = (slots0, self._pred_zero_carry(B))
             if T > 1:
-                _, (slots_rest, masks_rest) = scan_mod(
-                    self.step_module, carry, feats[:, 1:])
-                slots = jnp.concatenate([slots0[:, None], slots_rest], axis=1)
-                if self.return_mask:
-                    masks = jnp.concatenate([mask0[:, None], masks_rest],
-                                            axis=1)
-                else:
-                    masks = None
+                _, ys = scan_mod(self.step_module, carry, feats[:, 1:])
+                slots = jnp.concatenate([slots0[:, None], ys[0]], axis=1)
+                masks = jnp.concatenate([mask0[:, None], ys[1]], axis=1) \
+                    if self.return_mask else None
             else:
                 slots = slots0[:, None]
                 masks = mask0[:, None] if self.return_mask else None
         else:
             carry = (prev_slots, self._pred_zero_carry(B))
-            _, (slots, masks) = scan_mod(self.step_module, carry, feats)
-            if not self.return_mask:
-                masks = None
+            _, ys = scan_mod(self.step_module, carry, feats)
+            slots = ys[0]
+            masks = ys[1] if self.return_mask else None
         return (slots, masks, self_vis_res) if self.return_mask \
             else (slots, self_vis_res)
 

@@ -14,22 +14,45 @@ Math per iteration (reference :78-102):
     slots = GRUCell(updates, slots_prev)
     slots = slots + MLP(LN(slots))
 
-k, v are computed once from LN(inputs) outside the loop; the iteration count
-is small and static (2-3), so the loop is unrolled into the XLA program,
-letting the compiler fuse the whole refinement into one fusion group.
+k, v are computed once from LN(inputs) outside the loop as big MXU
+matmuls. The refinement loop itself has two interchangeable backends over
+ONE set of raw parameters (so checkpoints are backend-independent):
 
-A fused Pallas kernel implementing the same math lives in
-`slotdiffusion_tpu.ops.slot_attention_kernel`; it is used when
-`use_pallas=True` and shapes are TPU-tileable.
+- `ops.slot_attention_kernel.sa_iterations_ref` — pure jnp, unrolled;
+  XLA fuses the whole refinement (used on CPU and for autodiff).
+- `sa_iterations` — the fused Pallas TPU kernel (one kernel for all
+  iterations, attention accumulators resident in VMEM; see the kernel
+  module docstring), with backward = autodiff of the jnp twin.
+
+`use_pallas='auto'` picks the kernel on TPU when shapes are tileable.
 """
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.slot_attention_kernel import (pallas_supported, sa_iterations,
+                                         sa_iterations_ref)
+
 Dtype = Any
+
+
+def _on_tpu():
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
+def _orthogonal_packed(rng, shape, dtype=jnp.float32):
+    """Three [D, D] orthogonal blocks packed to [D, 3D] — matches
+    flax.linen.GRUCell's per-gate orthogonal recurrent init."""
+    D = shape[0]
+    init = nn.initializers.orthogonal()
+    ks = jax.random.split(rng, 3)
+    return jnp.concatenate([init(k, (D, D), dtype) for k in ks], axis=1)
 
 
 class SlotAttention(nn.Module):
@@ -43,6 +66,7 @@ class SlotAttention(nn.Module):
         return_last_attn: if True, also return the last-iteration attention
             map (pre-renorm, transposed to [B, S, N]) as a segmentation mask —
             the `SlotAttentionWMask` variant (sa_diffusion.py:39-70).
+        use_pallas: True / False / 'auto' (kernel on TPU when tileable).
     """
 
     num_iterations: int
@@ -50,6 +74,7 @@ class SlotAttention(nn.Module):
     mlp_hidden_size: int
     eps: float = 1e-6
     return_last_attn: bool = False
+    use_pallas: Any = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -62,52 +87,50 @@ class SlotAttention(nn.Module):
         Returns:
             slots [B, S, D], and if `return_last_attn`, seg masks [B, S, N].
         """
-        B, N, _ = inputs.shape
-        S, D = slots.shape[-2], self.slot_size
-        scale = D ** -0.5
+        B, N, C_in = inputs.shape
+        D, M = self.slot_size, self.mlp_hidden_size
+        lecun = nn.initializers.lecun_normal()
+        zeros, ones = nn.initializers.zeros, nn.initializers.ones
 
-        norm_inputs = nn.LayerNorm(dtype=self.dtype, name="norm_inputs")
-        project_k = nn.Dense(
-            D, use_bias=False, dtype=self.dtype, name="project_k")
-        project_v = nn.Dense(
-            D, use_bias=False, dtype=self.dtype, name="project_v")
-        norm_q = nn.LayerNorm(dtype=self.dtype, name="norm_q")
-        project_q = nn.Dense(
-            D, use_bias=False, dtype=self.dtype, name="project_q")
-        gru = nn.GRUCell(features=D, dtype=self.dtype, name="gru")
-        norm_mlp = nn.LayerNorm(dtype=self.dtype, name="norm_mlp")
-        mlp_fc1 = nn.Dense(
-            self.mlp_hidden_size, dtype=self.dtype, name="mlp_fc1")
-        mlp_fc2 = nn.Dense(D, dtype=self.dtype, name="mlp_fc2")
+        ln_in_scale = self.param("ln_in_scale", ones, (C_in,))
+        ln_in_bias = self.param("ln_in_bias", zeros, (C_in,))
+        wk = self.param("wk", lecun, (C_in, D))
+        wv = self.param("wv", lecun, (C_in, D))
+        p = {
+            "wq": self.param("wq", lecun, (D, D)),
+            "ln_q_scale": self.param("ln_q_scale", ones, (D,)),
+            "ln_q_bias": self.param("ln_q_bias", zeros, (D,)),
+            "gru_wi": self.param("gru_wi", lecun, (D, 3 * D)),
+            "gru_wh": self.param("gru_wh", _orthogonal_packed, (D, 3 * D)),
+            "gru_bh": self.param("gru_bh", zeros, (3 * D,)),
+            "ln_mlp_scale": self.param("ln_mlp_scale", ones, (D,)),
+            "ln_mlp_bias": self.param("ln_mlp_bias", zeros, (D,)),
+            "w1": self.param("w1", lecun, (D, M)),
+            "b1": self.param("b1", zeros, (M,)),
+            "w2": self.param("w2", lecun, (M, D)),
+            "b2": self.param("b2", zeros, (D,)),
+        }
 
-        x = norm_inputs(inputs)
-        k = project_k(x)  # [B, N, D]
-        v = project_v(x)  # [B, N, D]
+        x = inputs.astype(jnp.float32)
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        x = (x - mu) * jax.lax.rsqrt(var + 1e-6) * ln_in_scale + ln_in_bias
+        x = x.astype(self.dtype)
+        k = (x @ wk.astype(self.dtype)).astype(jnp.float32)  # [B, N, D]
+        v = (x @ wv.astype(self.dtype)).astype(jnp.float32)  # [B, N, D]
+        slots = slots.astype(jnp.float32)
 
-        seg_mask = None
-        for it in range(self.num_iterations):
-            slots_prev = slots
-            q = project_q(norm_q(slots))  # [B, S, D]
-            # softmax over the *slot* dim — the inverted-attention trick
-            attn_logits = scale * jnp.einsum(
-                "bnd,bsd->bns", k, q,
-                preferred_element_type=jnp.float32)
-            attn = jax.nn.softmax(attn_logits, axis=-1)  # [B, N, S]
-            if it == self.num_iterations - 1 and self.return_last_attn:
-                seg_mask = jax.lax.stop_gradient(
-                    jnp.swapaxes(attn, -1, -2))  # [B, S, N]
-            # renormalize over the spatial dim, weighted mean of values
-            attn = (attn + self.eps).astype(self.dtype)
-            attn = attn / jnp.sum(attn, axis=1, keepdims=True)
-            updates = jnp.einsum(
-                "bns,bnd->bsd", attn, v,
-                preferred_element_type=jnp.float32).astype(self.dtype)
-            # GRU update over flattened (B*S, D)
-            new_slots, _ = gru(
-                slots_prev.reshape(B * S, D), updates.reshape(B * S, D))
-            slots = new_slots.reshape(B, S, D)
-            slots = slots + mlp_fc2(nn.relu(mlp_fc1(norm_mlp(slots))))
-
+        use_pallas = self.use_pallas
+        if use_pallas == "auto":
+            use_pallas = _on_tpu() and pallas_supported(N, D)
+        fn = sa_iterations if use_pallas else sa_iterations_ref
+        if fn is sa_iterations:
+            out = fn(k, v, slots, p, self.num_iterations, self.eps,
+                     self.return_last_attn)
+        else:
+            out = fn(k, v, slots, p, num_iterations=self.num_iterations,
+                     eps=self.eps, return_last_attn=self.return_last_attn)
         if self.return_last_attn:
-            return slots, seg_mask
-        return slots
+            slots, seg_mask = out
+            return slots.astype(self.dtype), seg_mask
+        return out.astype(self.dtype)

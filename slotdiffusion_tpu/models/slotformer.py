@@ -67,6 +67,44 @@ class TransformerEncoderLayer(nn.Module):
         return nn.LayerNorm(dtype=self.dtype)(x + h)
 
 
+class _RolloutStep(nn.Module):
+    """One AR step: window [B, T*N, C] -> (new_window, pred [B, N, C]).
+
+    Owned by SlotRollouter and driven by nn.scan with params broadcast —
+    the same pattern as SAViStep (calling flax submodules inside a raw
+    jax.lax.scan, or nn.scan-ing over `self` from its own method, leaks
+    tracers at init)."""
+
+    num_slots: int
+    slot_size: int
+    d_model: int
+    num_layers: int
+    num_heads: int
+    ffn_dim: int
+    norm_first: bool
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.in_proj = nn.Dense(self.d_model, dtype=self.dtype)
+        self.layers = [
+            TransformerEncoderLayer(
+                d_model=self.d_model, num_heads=self.num_heads,
+                ffn_dim=self.ffn_dim, norm_first=self.norm_first,
+                dtype=self.dtype, name=f"layer{i}")
+            for i in range(self.num_layers)
+        ]
+        self.out_proj = nn.Dense(self.slot_size, dtype=self.dtype)
+
+    def __call__(self, window, pe):
+        x = self.in_proj(window) + pe
+        for layer in self.layers:
+            x = layer(x)
+        pred = self.out_proj(x[:, -self.num_slots:])
+        new_window = jnp.concatenate(
+            [window[:, self.num_slots:], pred], axis=1)
+        return new_window, pred
+
+
 class SlotRollouter(nn.Module):
     """AR rollout over slot tokens (slotformer.py:46-126)."""
 
@@ -83,15 +121,11 @@ class SlotRollouter(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.in_proj = nn.Dense(self.d_model, dtype=self.dtype)
-        self.layers = [
-            TransformerEncoderLayer(
-                d_model=self.d_model, num_heads=self.num_heads,
-                ffn_dim=self.ffn_dim, norm_first=self.norm_first,
-                dtype=self.dtype, name=f"layer{i}")
-            for i in range(self.num_layers)
-        ]
-        self.out_proj = nn.Dense(self.slot_size, dtype=self.dtype)
+        self.step = _RolloutStep(
+            num_slots=self.num_slots, slot_size=self.slot_size,
+            d_model=self.d_model, num_layers=self.num_layers,
+            num_heads=self.num_heads, ffn_dim=self.ffn_dim,
+            norm_first=self.norm_first, dtype=self.dtype, name="step")
         if self.t_pe == "learnable":
             self.enc_t_pe = self.param(
                 "enc_t_pe", nn.initializers.zeros,
@@ -118,27 +152,24 @@ class SlotRollouter(nn.Module):
             pe = pe + spe
         return pe.astype(self.dtype)
 
-    def _step_forward(self, window, pe):
-        """window: [B, T*N, slot_size] -> next slots [B, N, slot_size]."""
-        x = self.in_proj(window) + pe
-        for layer in self.layers:
-            x = layer(x)
-        return self.out_proj(x[:, -self.num_slots:])
-
     def __call__(self, x, pred_len):
-        """x: [B, history_len, N, C] -> [B, pred_len, N, C]."""
+        """x: [B, history_len, N, C] -> [B, pred_len, N, C].
+
+        The AR rollout is an `nn.scan` over the step module whose carry is
+        the sliding token window; `pred_len` steps compile into one XLA
+        while program. The temporal PE is loop-invariant and enters via
+        `in_axes=nn.broadcast`."""
         assert x.shape[1] == self.history_len, "wrong burn-in steps"
         B, T, N, C = x.shape
         window = x.reshape(B, T * N, C)
         pe = self._pe(B)
 
-        def step(window, _):
-            pred = self._step_forward(window, pe)  # [B, N, C]
-            new_window = jnp.concatenate([window[:, N:], pred], axis=1)
-            return new_window, pred
-
-        _, preds = jax.lax.scan(step, window, None, length=pred_len)
-        return preds.transpose(1, 0, 2, 3)  # [B, pred_len, N, C]
+        scan = nn.scan(
+            lambda mod, carry, pe: mod(carry, pe),
+            variable_broadcast="params", split_rngs={"params": False},
+            in_axes=nn.broadcast, length=pred_len, out_axes=1)
+        _, preds = scan(self.step, window, pe)
+        return preds  # [B, pred_len, N, C]
 
 
 class SlotFormer(nn.Module):

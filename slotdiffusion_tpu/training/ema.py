@@ -31,8 +31,11 @@ class ExponentialMovingAverage(struct.PyTreeNode):
 
     @classmethod
     def create(cls, params, decay=0.9999, use_num_updates=True):
+        # jnp.copy (not asarray): the shadow must NOT alias the live params —
+        # the jitted train step donates its TrainState, and two pytree leaves
+        # sharing one buffer trip XLA's "donate the same buffer twice" check.
         return cls(
-            shadow=jax.tree_util.tree_map(jnp.asarray, params),
+            shadow=jax.tree_util.tree_map(jnp.copy, params),
             num_updates=jnp.zeros((), jnp.int32),
             decay=decay,
             use_num_updates=use_num_updates,

@@ -18,6 +18,12 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# The image's axon sitecustomize calls jax.config.update("jax_platforms",
+# "axon,cpu") at interpreter startup, which takes precedence over the env
+# var — without this override every eager op goes to the real TPU over a
+# ~4ms-latency tunnel and the suite runs ~70x slower.
+jax.config.update("jax_platforms", "cpu")
+
 # numeric-parity tests compare against float64 numpy references
 jax.config.update("jax_default_matmul_precision", "highest")
 

@@ -28,6 +28,15 @@ def _optimal_eps(x_star, ns):
     return model_fn
 
 
+def _exact_flow(ns, x_star, x_T, t_T, t_0):
+    """Exact probability-flow solution for the point-mass model: the optimal
+    x0-predictor is constant (== x*), so the ODE integrates in closed form to
+    x(t0) = alpha(t0) x* + sigma(t0)/sigma(T) * (x_T - alpha(T) x*)."""
+    a0, s0 = ns.alpha(t_0), ns.sigma(t_0)
+    aT, sT = ns.alpha(t_T), ns.sigma(t_T)
+    return a0 * x_star + (s0 / sT) * (x_T - aT * x_star)
+
+
 @pytest.mark.parametrize("order,steps", [(1, 50), (2, 20), (3, 20)])
 def test_singlestep_converges_to_point_mass(betas, order, steps):
     ns = VPSchedule(betas)
@@ -38,10 +47,13 @@ def test_singlestep_converges_to_point_mass(betas, order, steps):
     out = dpm_solver_sample(
         _optimal_eps(x_star, ns), betas, x_T, steps=steps, order=order,
         method="singlestep", model_type="eps")
-    err = float(jnp.abs(out - x_star).max())
-    # x(t_0) = alpha(t_0) x* + ... residual sigma(t_0) * eps-ish term;
-    # sigma(1/N) is tiny for this schedule
-    assert err < 0.05, f"order {order} err {err}"
+    exact = _exact_flow(ns, np.asarray(x_star), np.asarray(x_T),
+                        1.0, 1.0 / ns.N)
+    err = float(jnp.abs(out - exact).max())
+    # the constant-m model makes every solver order exact up to fp error
+    assert err < 1e-3, f"order {order} err {err}"
+    # and the endpoint is close to x* up to the sigma(t_0) residual floor
+    assert float(jnp.abs(out - x_star).max()) < 0.2
 
 
 def test_multistep_converges(betas):
@@ -52,7 +64,10 @@ def test_multistep_converges(betas):
     out = dpm_solver_sample(
         _optimal_eps(x_star, ns), betas, x_T, steps=20, order=2,
         method="multistep", model_type="eps")
-    assert float(jnp.abs(out - x_star).max()) < 0.05
+    exact = _exact_flow(ns, np.asarray(x_star), np.asarray(x_T),
+                        1.0, 1.0 / ns.N)
+    assert float(jnp.abs(out - exact).max()) < 1e-3
+    assert float(jnp.abs(out - x_star).max()) < 0.2
 
 
 def test_correcting_fn_applied(betas):

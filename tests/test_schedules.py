@@ -41,7 +41,10 @@ def test_gaussian_schedule_identities():
         1.0, atol=1e-6)
     # posterior variance: beta_t * (1 - abar_{t-1}) / (1 - abar_t)
     pv = s.betas * (1 - s.alphas_bar_prev) / (1 - s.alphas_bar)
-    np.testing.assert_allclose(s.posterior_variance, pv, rtol=1e-5)
+    # stored tables are computed in float64 then cast; the float32
+    # recomputation here needs an absolute tolerance near t=0
+    np.testing.assert_allclose(s.posterior_variance, pv, rtol=1e-4,
+                               atol=1e-7)
     # q posterior mean coefficients sum: for x0 = x_t = x the posterior mean
     # must interpolate between them consistently
     assert s.posterior_mean_coef1[0] + s.posterior_mean_coef2[0] == \

@@ -43,28 +43,27 @@ def test_wmask_returns_softmax_over_slots():
 
 def test_matches_manual_reference_math():
     """One iteration of SA must equal a hand-computed numpy reference of the
-    math at reference slot_attention.py:78-102."""
+    math at reference slot_attention.py:78-102, using the module's raw
+    parameter layout (shared by the jnp and Pallas backends)."""
     B, N, C, S, D = 1, 8, 16, 3, 32
-    mod = SlotAttention(num_iterations=1, slot_size=D, mlp_hidden_size=64)
+    mod = SlotAttention(num_iterations=1, slot_size=D, mlp_hidden_size=64,
+                        use_pallas=False)
     inputs = jax.random.normal(jax.random.PRNGKey(0), (B, N, C))
     slots0 = jax.random.normal(jax.random.PRNGKey(1), (B, S, D))
     variables = mod.init(jax.random.PRNGKey(2), inputs, slots0)
     out = np.asarray(mod.apply(variables, inputs, slots0))
 
-    p = variables["params"]
+    p = {k: np.asarray(v) for k, v in variables["params"].items()}
 
     def ln(x, scale, bias, eps=1e-6):
         mu = x.mean(-1, keepdims=True)
         var = ((x - mu) ** 2).mean(-1, keepdims=True)
         return (x - mu) / np.sqrt(var + eps) * scale + bias
 
-    x = ln(np.asarray(inputs), np.asarray(p["norm_inputs"]["scale"]),
-           np.asarray(p["norm_inputs"]["bias"]))
-    k = x @ np.asarray(p["project_k"]["kernel"])
-    v = x @ np.asarray(p["project_v"]["kernel"])
-    q = ln(np.asarray(slots0), np.asarray(p["norm_q"]["scale"]),
-           np.asarray(p["norm_q"]["bias"])) @ np.asarray(
-               p["project_q"]["kernel"])
+    x = ln(np.asarray(inputs), p["ln_in_scale"], p["ln_in_bias"])
+    k = x @ p["wk"]
+    v = x @ p["wv"]
+    q = ln(np.asarray(slots0), p["ln_q_scale"], p["ln_q_bias"]) @ p["wq"]
     logits = (D ** -0.5) * np.einsum("bnd,bsd->bns", k, q)
     attn = np.exp(logits - logits.max(-1, keepdims=True))
     attn = attn / attn.sum(-1, keepdims=True)
@@ -72,30 +71,24 @@ def test_matches_manual_reference_math():
     attn = attn / attn.sum(1, keepdims=True)
     updates = np.einsum("bns,bnd->bsd", attn, v)
 
-    # flax GRUCell math (same gate equations as torch.nn.GRUCell)
-    g = p["gru"]
+    # flax GRUCell math: packed kernels (r | z | n), input kernels
+    # bias-free, hidden kernels biased, new-gate hidden term r-scaled
     i = updates.reshape(B * S, D)
     h = np.asarray(slots0).reshape(B * S, D)
 
     def sigmoid(a):
         return 1.0 / (1.0 + np.exp(-a))
 
-    r = sigmoid(i @ np.asarray(g["ir"]["kernel"]) +
-                np.asarray(g["ir"]["bias"]) + h @ np.asarray(g["hr"]["kernel"]))
-    z = sigmoid(i @ np.asarray(g["iz"]["kernel"]) +
-                np.asarray(g["iz"]["bias"]) + h @ np.asarray(g["hz"]["kernel"]))
-    n = np.tanh(i @ np.asarray(g["in"]["kernel"]) +
-                np.asarray(g["in"]["bias"]) +
-                r * (h @ np.asarray(g["hn"]["kernel"]) +
-                     np.asarray(g["hn"]["bias"])))
+    gi = i @ p["gru_wi"]
+    gh = h @ p["gru_wh"] + p["gru_bh"]
+    r = sigmoid(gi[:, :D] + gh[:, :D])
+    z = sigmoid(gi[:, D:2 * D] + gh[:, D:2 * D])
+    n = np.tanh(gi[:, 2 * D:] + r * gh[:, 2 * D:])
     new_h = (1.0 - z) * n + z * h
     slots = new_h.reshape(B, S, D)
-    y = ln(slots, np.asarray(p["norm_mlp"]["scale"]),
-           np.asarray(p["norm_mlp"]["bias"]))
-    y = np.maximum(y @ np.asarray(p["mlp_fc1"]["kernel"]) +
-                   np.asarray(p["mlp_fc1"]["bias"]), 0.0)
-    y = y @ np.asarray(p["mlp_fc2"]["kernel"]) + np.asarray(
-        p["mlp_fc2"]["bias"])
+    y = ln(slots, p["ln_mlp_scale"], p["ln_mlp_bias"])
+    y = np.maximum(y @ p["w1"] + p["b1"], 0.0)
+    y = y @ p["w2"] + p["b2"]
     expected = slots + y
 
     np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-5)
