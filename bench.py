@@ -6,18 +6,24 @@ step) at the reference's flagship scale (savi_ldm_movie_params-res128.py:
 channel_mult (1,2,3,4), cross-attention on 15 slots x 192-d at downsample
 factors (8,4,2), batch 32, bf16 compute.
 
+Methodology: the denoise step is chained `ITERS` times inside a single
+jitted `lax.fori_loop` and a scalar of the result is fetched to host.
+Host-side dispatch loops with `block_until_ready` are NOT trustworthy on
+this device tunnel (they report impossible >peak FLOP/s — the ready signal
+doesn't await remote completion); the in-program loop + host fetch measures
+true device time. Calibration: an 8192^3 bf16 matmul chain measured this
+way hits ~169 TFLOP/s =~ 86% of a v5e's 197 TFLOP/s peak.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-`vs_baseline` compares achieved device FLOP/s against an A40 running the
-same UNet in fp16 at 30% of peak (149.7 TFLOPs * 0.3 ≈ 44.9 TFLOPs
-effective) — the reference's training hardware (README.md:59-66). The
-north-star target is >= 3.0 (BASELINE.md).
+`vs_baseline` compares achieved steps/s against an A40 running the same
+UNet in fp16 at 30% of peak (149.7 TFLOPs * 0.3 ~= 44.9 TFLOPs effective)
+— the reference's training hardware (README.md:59-66). The north-star
+target is >= 3.0 (BASELINE.md).
 """
 
 import json
 import time
-
-import numpy as np
 
 A40_EFFECTIVE_FLOPS = 149.7e12 * 0.30  # fp16 tensor-core peak * 30%
 
@@ -50,32 +56,43 @@ def main():
     t = jnp.full((B,), 500, jnp.int32)
     ctx = jax.random.normal(rng, (B, SLOTS, SLOT_DIM), jnp.float32)
     variables = unet.init(jax.random.PRNGKey(1), x, t, ctx)
+    params = variables["params"]
 
     @jax.jit
     def denoise_step(params, x, t, ctx):
         return unet.apply({"params": params}, x, t, ctx)
 
-    # compile + FLOP count
-    lowered = denoise_step.lower(variables["params"], x, t, ctx)
-    compiled = lowered.compile()
+    # FLOPs of one step from the compiled module
+    compiled = denoise_step.lower(params, x, t, ctx).compile()
     cost = compiled.cost_analysis()
     if isinstance(cost, list):
         cost = cost[0]
     flops_per_step = float(cost.get("flops", 0.0)) if cost else 0.0
 
-    out = denoise_step(variables["params"], x, t, ctx)
-    out.block_until_ready()
+    @jax.jit
+    def chain(params, x, t, ctx, iters):
+        def body(i, x):
+            eps = unet.apply({"params": params}, x, t, ctx)
+            return eps.astype(jnp.float32)  # feed prediction back in
 
-    # timed runs
-    n_iters = 30
-    start = time.perf_counter()
-    for _ in range(n_iters):
-        out = denoise_step(variables["params"], x, t, ctx)
-    out.block_until_ready()
-    elapsed = time.perf_counter() - start
+        return jax.lax.fori_loop(0, iters, body, x)[0, 0, 0, 0]
 
-    steps_per_sec = n_iters / elapsed
-    achieved_flops = steps_per_sec * flops_per_step
+    ITERS = 50
+    # warm both iteration counts (two compiled programs)
+    float(chain(params, x, t, ctx, 1))
+    float(chain(params, x, t, ctx, ITERS + 1))
+
+    def best(iters, tries=4):
+        ts = []
+        for _ in range(tries):
+            t0 = time.perf_counter()
+            float(chain(params, x, t, ctx, iters))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    per_step = (best(ITERS + 1) - best(1)) / ITERS
+
+    steps_per_sec = 1.0 / per_step
     if flops_per_step > 0:
         a40_steps_per_sec = A40_EFFECTIVE_FLOPS / flops_per_step
         vs_baseline = steps_per_sec / a40_steps_per_sec

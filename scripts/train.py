@@ -36,6 +36,11 @@ def main():
 
     import jax
 
+    if args.cpu:
+        # the axon sitecustomize sets jax_platforms via jax.config at
+        # interpreter startup, which takes precedence over the env var
+        jax.config.update("jax_platforms", "cpu")
+
     from slotdiffusion_tpu.data import DataModule, build_dataset
     from slotdiffusion_tpu.methods import build_method
     from slotdiffusion_tpu.models import build_model
@@ -47,9 +52,14 @@ def main():
     if args.max_steps > 0:
         params.max_steps = args.max_steps
 
-    train_set, val_set = build_dataset(params)
+    built = build_dataset(params)
+    collate_fn = None
+    if len(built) == 3:  # COCO also returns its padding collater
+        train_set, val_set, collate_fn = built
+    else:
+        train_set, val_set = built
     datamodule = DataModule(
-        params, train_set, val_set,
+        params, train_set, val_set, collate_fn=collate_fn,
         process_index=jax.process_index(),
         process_count=jax.process_count())
 

@@ -24,7 +24,13 @@ ONE set of raw parameters (so checkpoints are backend-independent):
   iterations, attention accumulators resident in VMEM; see the kernel
   module docstring), with backward = autodiff of the jnp twin.
 
-`use_pallas='auto'` picks the kernel on TPU when shapes are tileable.
+`use_pallas='auto'` currently resolves to the XLA path: measured on a
+v5e at the flagship shapes (B=32, N=1024, S=15, D=192, 2 iters and B=8,
+N=16384, S=11, 3 iters; scripts/bench_sa_kernel.py), XLA's reduction
+fusion runs the refinement in ~26-45us vs the kernel's ~92us — the op's
+operands are too small for Pallas' ~2us/grid-step overhead to amortize,
+and XLA already reads k/v once per iteration at bf16. The kernel stays
+as an optimization surface (`use_pallas=True`) with full parity tests.
 """
 
 from typing import Any
@@ -122,6 +128,10 @@ class SlotAttention(nn.Module):
 
         use_pallas = self.use_pallas
         if use_pallas == "auto":
+            # XLA path is the measured winner at all reference shapes
+            # (see module docstring); flip here if the kernel overtakes it
+            use_pallas = False
+        elif use_pallas:
             use_pallas = _on_tpu() and pallas_supported(N, D)
         fn = sa_iterations if use_pallas else sa_iterations_ref
         if fn is sa_iterations:

@@ -33,8 +33,14 @@ def _attention(q, k, v, num_heads, dtype):
     """Multi-head attention over token dims.
 
     q: [B, Nq, H*D], k/v: [B, Nk, H*D] -> [B, Nq, H*D].
-    Softmax in fp32 for stability (reference QKVAttention casts to float,
-    unet.py:334).
+
+    The [B, H, Nq, Nk] logits round-trip through HBM between the two
+    matmuls (XLA cannot fuse across them), so they are *materialized* in
+    the compute dtype (bf16) to halve that traffic: MXU accumulation and
+    the softmax max/exp/sum still run in f32 inside the fusions (the
+    reference keeps fp32 throughout, QKVAttention unet.py:334 — on A40
+    that path is fp16 under AMP anyway). Measured: ~2% end-to-end at the
+    flagship scale (the logits round-trip is not the dominant cost).
     """
     B, Nq, HD = q.shape
     Nk = k.shape[1]
@@ -43,9 +49,11 @@ def _attention(q, k, v, num_heads, dtype):
     k = k.reshape(B, Nk, num_heads, D)
     v = v.reshape(B, Nk, num_heads, D)
     scale = D ** -0.5
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    logits = (jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                         preferred_element_type=jnp.float32)
+              * scale).astype(dtype)
+    weights = jax.nn.softmax(
+        logits.astype(jnp.float32), axis=-1).astype(dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", weights, v,
                      preferred_element_type=jnp.float32).astype(dtype)
     return out.reshape(B, Nq, HD)
@@ -55,7 +63,8 @@ class CrossAttention(nn.Module):
     """Q from x, K/V from context (or x when context is None).
 
     Mirrors reference attention.py:157-206: no-bias q/k/v projections,
-    output projection with bias.
+    output projection with bias. (A fused-QKV variant was measured and
+    reverted: the post-matmul split copies cancel the larger-matmul win.)
     """
 
     query_dim: int

@@ -148,12 +148,13 @@ def _sa_kernel(k_ref, v_ref, slots0_ref, wq_ref, lnq_ref, gwi_ref, gwh_ref,
     lnq = lnq_ref[:, :]  # [2, D] rows: scale, bias
     q = _ln(slots, lnq[0:1], lnq[1:2]) @ wq_ref[:, :]  # [S_pad, D]
 
-    k_t = k_ref[0]  # [TN, D]
-    v_t = v_ref[0]  # [TN, D]
+    k_t = k_ref[0]  # [TN, D], f32 or bf16 (bf16 halves the HBM traffic,
+    v_t = v_ref[0]  # matching XLA's default-TPU-precision matmuls)
+    kv_dtype = k_t.dtype
 
     # inverted attention on the [S, TN] layout
     logits = scale * jax.lax.dot_general(
-        q, k_t, (((1,), (1,)), ((), ())),
+        q.astype(kv_dtype), k_t, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # [S_pad, TN]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (S_pad, TN), 0)
     logits = jnp.where(row_ids < S, logits, -1e30)
@@ -165,13 +166,14 @@ def _sa_kernel(k_ref, v_ref, slots0_ref, wq_ref, lnq_ref, gwi_ref, gwh_ref,
             mask_ref[0] = a.astype(mask_ref.dtype)
 
     num_s[:, :] += jax.lax.dot_general(
-        a, v_t, (((1,), (0,)), ((), ())),
+        a.astype(kv_dtype), v_t, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # [S_pad, D]
     den_s[:, :1] += jnp.sum(a, axis=1, keepdims=True)
 
     @pl.when(it == 0)
     def _():
-        vsum_s[:1, :] += jnp.sum(v_t, axis=0, keepdims=True)
+        vsum_s[:1, :] += jnp.sum(v_t, axis=0, keepdims=True,
+                                 dtype=jnp.float32)
 
     # ---- iteration epilogue (last tile): renorm + GRU + MLP -------------
     @pl.when(nt == n_tiles - 1)
@@ -192,42 +194,47 @@ def _sa_kernel(k_ref, v_ref, slots0_ref, wq_ref, lnq_ref, gwi_ref, gwh_ref,
 def _sa_kernel_resident(k_ref, v_ref, slots0_ref, wq_ref, lnq_ref, gwi_ref,
                         gwh_ref, gbh_ref, lnm_ref, w1_ref, b1_ref, w2_ref,
                         b2_ref, out_ref, mask_ref,
-                        *, S, S_pad, D, N, num_iterations, eps, scale,
+                        *, S, S_pad, D, N, G, num_iterations, eps, scale,
                         with_mask):
-    """Small-N variant: the whole [N, D] k/v for one batch item is VMEM
+    """Small-N variant: the whole [N, D] k/v for G batch items is VMEM
     resident, so all iterations run in one grid step with a single HBM
     read of k/v — the bandwidth-optimal schedule (the tiled variant
-    re-reads k/v once per iteration)."""
-    k = k_ref[0]
-    v = v_ref[0]
-    slots = slots0_ref[0]
+    re-reads k/v once per iteration). G items per grid step amortize the
+    per-step pipeline overhead (~2-3us) that dominates at these sizes."""
     lnq = lnq_ref[:, :]
     lnm = lnm_ref[:, :]
-    vsum = jnp.sum(v, axis=0, keepdims=True)  # [1, D]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (S_pad, N), 0)
 
-    for it in range(num_iterations):
-        q = _ln(slots, lnq[0:1], lnq[1:2]) @ wq_ref[:, :]  # [S_pad, D]
-        logits = scale * jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [S_pad, N]
-        logits = jnp.where(row_ids < S, logits, -1e30)
-        a = jax.nn.softmax(logits, axis=0)
-        if with_mask and it == num_iterations - 1:
-            mask_ref[0] = a.astype(mask_ref.dtype)
-        num = jax.lax.dot_general(
-            a, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [S_pad, D]
-        den = jnp.sum(a, axis=1, keepdims=True)  # [S_pad, 1]
-        updates = (num + eps * vsum) / (den + N * eps)
-        new_slots = _gru(slots, updates, gwi_ref[:, :], gwh_ref[:, :],
-                         gbh_ref[:, :])
-        h = jax.nn.relu(
-            _ln(new_slots, lnm[0:1], lnm[1:2]) @ w1_ref[:, :] +
-            b1_ref[:, :])
-        slots = new_slots + (h @ w2_ref[:, :] + b2_ref[:, :])
+    for g in range(G):
+        k = k_ref[g]
+        v = v_ref[g]
+        kv_dtype = k.dtype
+        slots = slots0_ref[g]
+        vsum = jnp.sum(v, axis=0, keepdims=True,
+                       dtype=jnp.float32)  # [1, D]
 
-    out_ref[0] = slots.astype(out_ref.dtype)
+        for it in range(num_iterations):
+            q = _ln(slots, lnq[0:1], lnq[1:2]) @ wq_ref[:, :]  # [S_pad, D]
+            logits = scale * jax.lax.dot_general(
+                q.astype(kv_dtype), k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [S_pad, N]
+            logits = jnp.where(row_ids < S, logits, -1e30)
+            a = jax.nn.softmax(logits, axis=0)
+            if with_mask and it == num_iterations - 1:
+                mask_ref[g] = a.astype(mask_ref.dtype)
+            num = jax.lax.dot_general(
+                a.astype(kv_dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [S_pad, D]
+            den = jnp.sum(a, axis=1, keepdims=True)  # [S_pad, 1]
+            updates = (num + eps * vsum) / (den + N * eps)
+            new_slots = _gru(slots, updates, gwi_ref[:, :], gwh_ref[:, :],
+                             gbh_ref[:, :])
+            h = jax.nn.relu(
+                _ln(new_slots, lnm[0:1], lnm[1:2]) @ w1_ref[:, :] +
+                b1_ref[:, :])
+            slots = new_slots + (h @ w2_ref[:, :] + b2_ref[:, :])
+
+        out_ref[g] = slots.astype(out_ref.dtype)
 
 
 # whole-k/v-resident threshold: k+v blocks, double-buffered, must leave
@@ -249,16 +256,22 @@ def pallas_supported(N, D):
 def _pallas_resident(k, v, slots0, p, *, B, N, S, S_pad, D, M, scale,
                      num_iterations, eps, return_last_attn, interpret):
     f32 = lambda a: jnp.asarray(a, jnp.float32)
+    kv_bytes = k.dtype.itemsize
+    # items per grid step: k+v for G items must fit the resident budget
+    per_item = 2 * N * D * kv_bytes
+    G = max(1, min(8, _RESIDENT_BYTES // per_item))
+    while B % G:
+        G -= 1
     lnq = jnp.stack([f32(p["ln_q_scale"]), f32(p["ln_q_bias"])])
     lnm = jnp.stack([f32(p["ln_mlp_scale"]), f32(p["ln_mlp_bias"])])
     full = lambda *shp: pl.BlockSpec(
         shp, lambda b: (0,) * len(shp), memory_space=pltpu.VMEM)
     per_b = lambda *shp: pl.BlockSpec(
-        (1,) + shp, lambda b: (b,) + (0,) * len(shp),
+        (G,) + shp, lambda b: (b,) + (0,) * len(shp),
         memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
-        _sa_kernel_resident, S=S, S_pad=S_pad, D=D, N=N,
+        _sa_kernel_resident, S=S, S_pad=S_pad, D=D, N=N, G=G,
         num_iterations=num_iterations, eps=eps, scale=scale,
         with_mask=return_last_attn)
 
@@ -266,7 +279,7 @@ def _pallas_resident(k, v, slots0, p, *, B, N, S, S_pad, D, M, scale,
         D + 6 * D + 2 * M))
     slots_out, mask = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // G,),
         in_specs=[
             per_b(N, D), per_b(N, D), per_b(S_pad, D),
             full(D, D), full(2, D),
@@ -280,10 +293,10 @@ def _pallas_resident(k, v, slots0, p, *, B, N, S, S_pad, D, M, scale,
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops_mm,
-            bytes_accessed=B * 2 * N * D * 4,
+            bytes_accessed=B * 2 * N * D * kv_bytes,
             transcendentals=B * num_iterations * N * S_pad),
         interpret=interpret,
-    )(f32(k), f32(v), slots0, f32(p["wq"]), lnq, f32(p["gru_wi"]),
+    )(k, v, slots0, f32(p["wq"]), lnq, f32(p["gru_wi"]),
       f32(p["gru_wh"]), f32(p["gru_bh"]).reshape(1, -1), lnm,
       f32(p["w1"]), f32(p["b1"]).reshape(1, -1), f32(p["w2"]),
       f32(p["b2"]).reshape(1, -1))
@@ -292,14 +305,21 @@ def _pallas_resident(k, v, slots0, p, *, B, N, S, S_pad, D, M, scale,
 
 def sa_iterations_pallas(k, v, slots, p: Dict, *, num_iterations: int,
                          eps: float, return_last_attn: bool = False,
-                         interpret: bool = False, force_tiled: bool = False):
-    """Pallas forward. Shapes: k, v [B, N, D]; slots [B, S, D]."""
+                         interpret: bool = False, force_tiled: bool = False,
+                         kv_dtype=jnp.bfloat16):
+    """Pallas forward. Shapes: k, v [B, N, D]; slots [B, S, D].
+
+    k/v are streamed through VMEM in `kv_dtype` (default bf16, matching
+    XLA's default TPU matmul precision and halving the kernel's HBM
+    traffic — it is bandwidth-bound). All accumulation stays f32."""
     B, N, D = k.shape
     S = slots.shape[1]
     S_pad = max(8, -(-S // 8) * 8)
     M = p["w1"].shape[1]
     scale = D ** -0.5
-    if N * D * 4 <= _RESIDENT_BYTES and not force_tiled:
+    k = jnp.asarray(k, kv_dtype)
+    v = jnp.asarray(v, kv_dtype)
+    if N * D * k.dtype.itemsize <= _RESIDENT_BYTES and not force_tiled:
         f32 = lambda a: jnp.asarray(a, jnp.float32)
         slots0 = _pad_to(f32(slots), S_pad, axis=1)
         slots_out, mask = _pallas_resident(
@@ -345,6 +365,7 @@ def sa_iterations_pallas(k, v, slots, p: Dict, *, num_iterations: int,
 
     flops_mm = 2 * B * num_iterations * (N * S_pad * D * 2 + S_pad * D * (
         D + 6 * D + 2 * M))
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
     slots_out, mask = pl.pallas_call(
         kernel,
         grid=grid,
@@ -366,10 +387,10 @@ def sa_iterations_pallas(k, v, slots, p: Dict, *, num_iterations: int,
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops_mm,
-            bytes_accessed=B * num_iterations * 2 * N * D * 4,
+            bytes_accessed=B * num_iterations * 2 * N * D * k.dtype.itemsize,
             transcendentals=B * num_iterations * N * S_pad),
         interpret=interpret,
-    )(f32(k), f32(v), slots0, f32(p["wq"]), lnq, f32(p["gru_wi"]),
+    )(k, v, slots0, f32(p["wq"]), lnq, f32(p["gru_wi"]),
       f32(p["gru_wh"]), f32(p["gru_bh"]).reshape(1, -1), lnm,
       f32(p["w1"]), f32(p["b1"]).reshape(1, -1), f32(p["w2"]),
       f32(p["b2"]).reshape(1, -1))

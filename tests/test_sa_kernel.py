@@ -50,7 +50,8 @@ def test_kernel_matches_ref(B, N, S, D, iters):
     for force_tiled in (False, True):
         out = sa_iterations_pallas(k, v, slots, p, num_iterations=iters,
                                    eps=1e-6, interpret=True,
-                                   force_tiled=force_tiled)
+                                   force_tiled=force_tiled,
+                                   kv_dtype=jnp.float32)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=2e-5)
 
@@ -69,7 +70,8 @@ def test_kernel_mask_matches_ref():
     for force_tiled in (False, True):
         out_s, out_m = sa_iterations_pallas(
             k, v, slots, p, num_iterations=iters, eps=1e-6,
-            return_last_attn=True, interpret=True, force_tiled=force_tiled)
+            return_last_attn=True, interpret=True, force_tiled=force_tiled,
+            kv_dtype=jnp.float32)
         np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref_s),
                                    rtol=2e-4, atol=2e-5)
         np.testing.assert_allclose(np.asarray(out_m), np.asarray(ref_m),
@@ -103,7 +105,8 @@ def test_module_paths_share_params():
     k = jnp.asarray(xn @ np.asarray(variables["params"]["wk"]), jnp.float32)
     v = jnp.asarray(xn @ np.asarray(variables["params"]["wv"]), jnp.float32)
     out_pallas = sa_iterations_pallas(
-        k, v, slots, p, num_iterations=2, eps=1e-6, interpret=True)
+        k, v, slots, p, num_iterations=2, eps=1e-6, interpret=True,
+        kv_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out_pallas), np.asarray(out_ref),
                                rtol=5e-3, atol=5e-4)
 
@@ -124,3 +127,19 @@ def test_grad_flows_through_ref_path():
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).max()) > 0
+
+
+def test_kernel_bf16_kv_close_to_ref():
+    """The default bf16 k/v streaming (XLA-default-precision analog) stays
+    within bf16-level tolerance of the f32 reference."""
+    B, N, S, D, iters = 2, 256, 5, 64, 2
+    p = _weights(8, D, 2 * D)
+    r = np.random.RandomState(9)
+    k = jnp.asarray(r.randn(B, N, D), jnp.float32)
+    v = jnp.asarray(r.randn(B, N, D), jnp.float32)
+    slots = jnp.asarray(r.randn(B, S, D), jnp.float32)
+    ref = sa_iterations_ref(k, v, slots, p, num_iterations=iters, eps=1e-6)
+    out = sa_iterations_pallas(k, v, slots, p, num_iterations=iters,
+                               eps=1e-6, interpret=True)
+    err = float(jnp.abs(out - ref).max())
+    assert err < 0.15, err
