@@ -102,10 +102,10 @@ class MOViDataset(Dataset):
         for n in range(num):
             i = start + n * self.frame_offset
             try:
-                img = Image.open(self._frame_path(folder, i)).convert("RGB")
+                frames.append(
+                    self.transforms.load_image(self._frame_path(folder, i)))
             except (FileNotFoundError, OSError) as e:
                 raise SampleError(str(e))
-            frames.append(self.transforms(img))
             if self.load_mask:
                 try:
                     m = Image.open(self._mask_path(folder, i))

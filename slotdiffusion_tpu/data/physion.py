@@ -99,10 +99,9 @@ class PhysionDataset(Dataset):
             path = osp.join(folder,
                             f"{start + n * self.frame_offset:06d}.jpg")
             try:
-                img = Image.open(path).convert("RGB")
+                frames.append(self.transforms.load_image(path))
             except (FileNotFoundError, OSError) as e:
                 raise SampleError(str(e))
-            frames.append(self.transforms(img))
         return np.stack(frames).astype(np.float32)
 
     def get_video(self, video_idx):

@@ -35,6 +35,21 @@ class BaseTransforms:
         arr = np.asarray(img, np.float32) / 255.0
         return (arr - self.norm_mean) / self.norm_std
 
+    def load_image(self, path):
+        """Read + resize + normalize one image file.
+
+        JPEGs with the standard (0.5, 0.5) normalization go through the
+        native fused decode-resize-normalize path (native/fastio.cpp, one
+        C call instead of four PIL/numpy passes); everything else falls
+        back to PIL. Raises OSError/FileNotFoundError like Image.open."""
+        if (self.norm_mean, self.norm_std) == (0.5, 0.5) and \
+                path.lower().endswith((".jpg", ".jpeg")):
+            from .fastio import decode_jpeg_norm
+            out = decode_jpeg_norm(path, self.resolution)
+            if out is not None:
+                return out
+        return self(Image.open(path).convert("RGB"))
+
     def process_mask(self, mask):
         """int mask [H, W] -> resized with NEAREST, int32."""
         m = Image.fromarray(np.asarray(mask).astype(np.int32), mode="I")

@@ -306,13 +306,23 @@ class Trainer:
         start_step = int(jax.device_get(self.state.step))
         start_epoch = start_step // max(self.steps_per_epoch, 1)
         save_every = max(int(self.save_interval * self.steps_per_epoch), 1)
+        profile_dir = self.params.get("profile_dir", "")
+        profile_steps = self.params.get("profile_steps", (10, 15))
+        # host-side step counter: a device_get of state.step every
+        # iteration would sync the pipeline each step
+        step = start_step
         t0 = time.time()
         for epoch in range(start_epoch, self.max_epochs):
             loader.set_epoch(epoch)
             for batch in loader:
+                if profile_dir and step == profile_steps[0]:
+                    jax.profiler.start_trace(profile_dir)
                 batch = shard_batch(batch, self.mesh)
                 self.state, metrics = self._train_step(self.state, batch)
-                step = int(jax.device_get(self.state.step))
+                step += 1
+                if profile_dir and step == profile_steps[1]:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
                 if self.max_steps > 0 and step >= self.max_steps:
                     print(f"[max_steps {self.max_steps} reached]")
                     self.save_checkpoint("last")

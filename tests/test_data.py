@@ -1,0 +1,159 @@
+"""Data layer: loader semantics, transforms, native fastio, MOVi layout.
+
+The reference has no tests for its datasets; these pin the behaviors the
+rebuild depends on: deterministic sharded batching, corrupted-sample
+retry (_rand_another analog, movi.py:54-60), mask id suppression, and the
+native decode path's parity with PIL.
+"""
+
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from slotdiffusion_tpu.data.loader import DataLoader, Dataset, SampleError
+from slotdiffusion_tpu.data.transforms import (BaseTransforms,
+                                               suppress_mask_idx)
+
+
+class _ToyDataset(Dataset):
+    def __init__(self, n=32, bad=()):
+        self.n = n
+        self.bad = set(bad)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        if idx in self.bad:
+            raise SampleError("corrupted")
+        return {"img": np.full((4, 4, 3), idx, np.float32),
+                "data_idx": np.int32(idx)}
+
+
+def test_loader_covers_all_indices_once():
+    loader = DataLoader(_ToyDataset(32), batch_size=8, shuffle=True,
+                        num_workers=2, seed=0)
+    seen = []
+    for batch in loader:
+        assert batch["img"].shape == (8, 4, 4, 3)
+        seen.extend(batch["data_idx"].tolist())
+    assert sorted(seen) == list(range(32))
+
+
+def test_loader_shuffle_deterministic_per_epoch():
+    mk = lambda: DataLoader(_ToyDataset(32), batch_size=8, shuffle=True,
+                            num_workers=1, seed=3)
+    e1 = [b["data_idx"].tolist() for b in mk()]
+    e2 = [b["data_idx"].tolist() for b in mk()]
+    assert e1 == e2
+    ldr = mk()
+    first = [b["data_idx"].tolist() for b in ldr]
+    ldr.set_epoch(1)  # epoch advance is explicit (trainer calls set_epoch)
+    second = [b["data_idx"].tolist() for b in ldr]
+    assert first != second
+    assert sorted(sum(first, [])) == sorted(sum(second, []))
+
+
+def test_loader_host_sharding_partitions_batch():
+    full, shards = [], [[], []]
+    for b in DataLoader(_ToyDataset(32), batch_size=8, shuffle=True,
+                        num_workers=1, seed=5):
+        full.append(b["data_idx"].tolist())
+    for p in (0, 1):
+        for b in DataLoader(_ToyDataset(32), batch_size=8, shuffle=True,
+                            num_workers=1, seed=5, process_index=p,
+                            process_count=2):
+            assert b["img"].shape[0] == 4  # local shard of the global batch
+            shards[p].append(b["data_idx"].tolist())
+    for i, gb in enumerate(full):
+        assert sorted(shards[0][i] + shards[1][i]) == sorted(gb)
+
+
+def test_loader_retries_corrupt_samples():
+    loader = DataLoader(_ToyDataset(16, bad=(3, 7)), batch_size=4,
+                        shuffle=False, num_workers=1, seed=0)
+    seen = []
+    for b in loader:
+        seen.extend(b["data_idx"].tolist())
+    assert len(seen) == 16
+    assert 3 not in seen and 7 not in seen  # resampled to other indices
+
+
+def test_suppress_mask_idx():
+    m = np.array([[0, 5], [9, 5]])
+    out = suppress_mask_idx(m)
+    assert out.tolist() == [[0, 1], [2, 1]]
+
+
+def test_transforms_normalize_and_mask_nearest():
+    tr = BaseTransforms((8, 8))
+    img = (np.arange(16 * 16 * 3) % 256).reshape(16, 16, 3).astype(np.uint8)
+    out = tr(img)
+    assert out.shape == (8, 8, 3) and out.dtype == np.float32
+    assert out.min() >= -1.0 and out.max() <= 1.0
+    mask = np.arange(16 * 16).reshape(16, 16) % 7
+    m = tr.process_mask(mask)
+    assert m.shape == (8, 8) and m.dtype == np.int32
+    assert set(np.unique(m)) <= set(np.unique(mask))
+
+
+def test_fastio_decode_matches_pil(tmp_path):
+    from slotdiffusion_tpu.data.fastio import (decode_jpeg_norm,
+                                               fastio_available)
+    if not fastio_available():
+        pytest.skip("native fastio not built")
+    r = np.random.RandomState(0)
+    # smooth image (JPEG-friendly) so codec differences stay tiny
+    base = r.rand(8, 10, 3)
+    img = np.kron(base, np.ones((32, 32, 1)))  # 256x320
+    img = (img * 255).astype(np.uint8)
+    p = str(tmp_path / "t.jpg")
+    Image.fromarray(img).save(p, quality=95)
+    out = decode_jpeg_norm(p, (128, 128))
+    ref = Image.open(p).convert("RGB").resize((128, 128), Image.BILINEAR)
+    ref = (np.asarray(ref, np.float32) / 255.0 - 0.5) / 0.5
+    assert np.abs(out - ref).mean() < 0.01
+
+
+def test_movi_dataset_from_generated_layout(tmp_path):
+    from slotdiffusion_tpu.data.movi import build_movi_dataset
+    from slotdiffusion_tpu.utils import BaseParams
+
+    root = tmp_path / "MOVi"
+    r = np.random.RandomState(0)
+    # flat frame layout: <root>/MOVi-E/<split>/<video>/{t:06d}.jpg (+ _mask)
+    for split in ("train", "validation"):
+        for vi in range(2):
+            vdir = root / "MOVi-E" / split / str(vi)
+            os.makedirs(vdir)
+            for t in range(6):
+                Image.fromarray(
+                    (r.rand(64, 64, 3) * 255).astype(np.uint8)).save(
+                        vdir / f"{t:06d}.jpg")
+                Image.fromarray(
+                    (r.randint(0, 5, (64, 64))).astype(np.uint8)).save(
+                        vdir / f"{t:06d}_mask.png")
+
+    p = BaseParams()
+    p.dataset = "movi"
+    p.movi_level = "e"
+    p.data_root = str(root)
+    p.resolution = (32, 32)
+    p.n_sample_frames = 3
+    p.frame_offset = 1
+    p.video_len = 6
+    p.load_mask = True
+    train, val = build_movi_dataset(p)
+    assert len(train) > 0 and len(val) > 0
+    s = train[0]
+    assert s["img"].shape == (3, 32, 32, 3)
+    assert s["img"].dtype == np.float32
+    assert -1.0 <= s["img"].min() and s["img"].max() <= 1.0
+    assert "masks" not in s  # train split drops masks (build_movi_dataset)
+    sv = val[0]
+    assert sv["masks"].shape == (3, 32, 32)
+    # mask ids suppressed to consecutive ints
+    assert sv["masks"].max() < 5
