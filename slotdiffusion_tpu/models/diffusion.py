@@ -384,6 +384,13 @@ class LDM(CondDDPM):
         """VAE-encode (no grad) then denoise in latent space (ldm.py:59-83).
         Takes the *image*; the latent x0 is computed inside."""
         x0 = self.encode_latent(img)
+        if self.is_initializing():
+            # flax creates params only for executed paths; the VAE decoder
+            # and quantizer run only at sampling time, but their params
+            # must exist so stage-1 checkpoint grafting and eval-time
+            # apply see the full tree
+            self.vae.quantize(x0)
+            self.vae.decode(x0)
         return super().loss_function(x0, context=context, train=train)
 
     def _correct_x0(self, x0):

@@ -100,6 +100,13 @@ class SLATE(nn.Module):
         logits = self.trans_decoder(slots, target[:, :-1])
         out["pred_token_id"] = logits[:, -self.num_patches:]
         out["target_token_id"] = target
+        if self.is_initializing():
+            # flax creates params only for executed paths — the dVAE
+            # decoder runs only in recon_img; its params must exist for
+            # checkpoint grafting and eval apply
+            self.dvae.detokenize(jax.nn.one_hot(
+                target[:, :self.num_patches].reshape(
+                    -1, self.h, self.w), self.vocab_size))
         return out
 
     def compute_losses(self, data_dict, sched=None, train=True,
@@ -200,6 +207,11 @@ class STEVE(nn.Module):
             z = z.reshape(B * T, self.h, self.w, self.vocab_size)
             out["recon_img"] = self.dvae.detokenize(z)
             out["gt_img"] = img.reshape(B * T, *img.shape[2:])
+        elif self.is_initializing():
+            # ensure the sampling-only dVAE decoder gets params at init
+            self.dvae.detokenize(jax.nn.one_hot(
+                target[:, :self.num_patches].reshape(
+                    -1, self.h, self.w), self.vocab_size))
         return out
 
     def compute_losses(self, data_dict, sched=None, train=True,

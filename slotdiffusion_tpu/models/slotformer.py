@@ -263,6 +263,11 @@ class SlotFormer(nn.Module):
                 "pred_slots": self.rollout(past_slots, self.rollout_len),
                 "gt_slots": gt_slots,
             }
+            if self.is_initializing() and self.decoder is not None:
+                # decoder is sampling/viz-only when img-recon loss is off;
+                # give it params at init so ckpt grafting / eval apply work
+                self.decode(out["pred_slots"].reshape(
+                    -1, self.num_slots, self.slot_size))
         return out
 
     def compute_losses(self, data_dict, sched=None, train=True):
@@ -325,6 +330,17 @@ class LDMSlotFormer(SlotFormer):
     def _build_decoder(self):
         self.decoder = None
         self.dm_decoder = _build_dm_decoder(self.dec_dict, self.dtype)
+
+    def __call__(self, data_dict, train=True):
+        out = super().__call__(data_dict, train=train)
+        if self.is_initializing():
+            # the frozen LDM decoder never runs in the slot-MSE loss; give
+            # it params at init so `dm_ckp_path` grafting and decode work
+            B = out["pred_slots"].shape[0]
+            dummy = jnp.zeros((B, *self.resolution, 3), jnp.float32)
+            self.dm_decoder.loss_function(
+                dummy, context=out["pred_slots"][:, 0], train=False)
+        return out
 
     def decode(self, slots, rng=None, use_dpm=True, same_noise=True):
         """slots [B', N, C] -> decoded frames via the frozen LDM

@@ -97,3 +97,41 @@ def load_pretrained_subtree(variables, ckp_path, dst_path, src_path=""):
 
     node[keys[-1]] = merge(dst, src)
     return {"params": params}
+
+
+def pretrained_specs(cfg):
+    """Derive (ckp_path, dst_subtree, src_subtree) graft specs from a
+    config's nested dicts — the analog of the reference's ctor-time frozen
+    checkpoint loading (VQVAE.py:166-178, steve.py:78-87,
+    ldm_slotformer.py:111-134).
+
+    Recognized keys:
+        dec_dict.vae_dict.vqvae_ckp_path -> dm_decoder/vae/vqvae
+        dec_dict.dm_ckp_path             -> dm_decoder (from a *Diffusion
+                                            ckpt's own dm_decoder subtree)
+        dvae_dict.dvae_ckp_path          -> dvae
+    Empty paths are skipped (stage-1 models trained jointly/from scratch).
+    """
+    specs = []
+    dec = cfg.get("dec_dict") or {}
+    vae = dec.get("vae_dict") or {}
+    if vae.get("vqvae_ckp_path"):
+        specs.append((vae["vqvae_ckp_path"], "dm_decoder/vae/vqvae", ""))
+    if dec.get("dm_ckp_path"):
+        specs.append((dec["dm_ckp_path"], "dm_decoder", "dm_decoder"))
+    dvae = cfg.get("dvae_dict") or {}
+    if dvae.get("dvae_ckp_path"):
+        specs.append((dvae["dvae_ckp_path"], "dvae", ""))
+    return specs
+
+
+def apply_pretrained(variables, cfg):
+    """Graft every configured stage-1 checkpoint into `variables`."""
+    for ckp_path, dst, src in pretrained_specs(cfg):
+        if not os.path.isdir(ckp_path) and not os.path.isfile(ckp_path):
+            raise FileNotFoundError(
+                f"pretrained checkpoint {ckp_path!r} (for subtree {dst}) "
+                f"not found — train the stage-1 model first or clear the "
+                f"config path")
+        variables = load_pretrained_subtree(variables, ckp_path, dst, src)
+    return variables

@@ -151,6 +151,11 @@ class Trainer:
             init_rngs, sample_batch, method=getattr(
                 self.model, "compute_losses"),
             sched=self._sched_dict(jnp.zeros((), jnp.int32)))
+        # graft configured stage-1 checkpoints (frozen VQ-VAE / dVAE / LDM)
+        # into the freshly initialized tree — the functional analog of the
+        # reference's ctor-time .pth loading (VQVAE.py:166-178)
+        from .checkpoint import apply_pretrained
+        variables = apply_pretrained(variables, self.params)
         params = variables["params"]
 
         lr_groups = self.params.get("lr_groups", None)
