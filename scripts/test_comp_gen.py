@@ -61,18 +61,27 @@ def main():
         return out["slots"]
 
     def decode(slots, rng):
+        """Model-specific slots -> frames (reference test_comp_gen.py:25-53
+        dispatches the same way: DM decode, AR generate, or broadcast)."""
         flat = slots.reshape(-1, slots.shape[-2], slots.shape[-1])
 
-        def _dec(mdl, s, r):
-            x = mdl.dm_decoder.generate_imgs(
-                r, cond=s, use_dpm=True,
-                same_noise=params.get("same_noise", True))
-            if isinstance(mdl.dm_decoder, LDM):
-                x = mdl.dm_decoder.decode_latent(x)
-            return x
+        if params.model in ("SADiffusion", "SAViDiffusion"):
+            def _dec(mdl, s, r):
+                x = mdl.dm_decoder.generate_imgs(
+                    r, cond=s, use_dpm=True,
+                    same_noise=params.get("same_noise", True))
+                if isinstance(mdl.dm_decoder, LDM):
+                    x = mdl.dm_decoder.decode_latent(x)
+                return x
 
-        return model.apply(variables, jnp.asarray(flat), rng,
-                           method=_dec)
+            return model.apply(variables, jnp.asarray(flat), rng,
+                               method=_dec)
+        if params.model in ("SLATE", "STEVE"):
+            return model.apply(variables, jnp.asarray(flat), rng,
+                               method=lambda m, s, r: m.recon_img(s, rng=r))
+        # SA / SAVi: spatial-broadcast decoder, recon is first output
+        return model.apply(variables, jnp.asarray(flat),
+                           method=lambda m, s: m.decode(s)[0])
 
     out_dir = mkdir_or_exist(args.out_dir)
     count = 0

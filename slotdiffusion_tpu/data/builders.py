@@ -44,11 +44,13 @@ def build_dataset(params, val_only=False):
 
     if name == "synthetic_slots":
         from .synthetic_slots import SyntheticSlotsDataset
+        for d in ("slot_dict", "rollout_dict", "readout_dict"):
+            cfg = params.get(d)
+            if cfg:
+                break
         kw = dict(
-            num_slots=params.slot_dict["num_slots"]
-            if params.get("slot_dict") else params.rollout_dict["num_slots"],
-            slot_size=params.slot_dict["slot_size"]
-            if params.get("slot_dict") else params.rollout_dict["slot_size"],
+            num_slots=cfg["num_slots"],
+            slot_size=cfg["slot_size"],
             video_len=params.get("video_len", 16),
             with_labels=params.get("with_labels", False))
         val_set = SyntheticSlotsDataset(

@@ -53,7 +53,13 @@ class CLEVRTexDataset(Dataset):
         self.bias, self.limit = int(lo * n), int(hi * n)
 
     def _build_index(self):
-        cache = osp.join(CACHE_DIR, "splits", "CLEVRTex", self.variant,
+        # cache key includes the dataset-root hash so the same variant under
+        # a different root never hits a stale index
+        import hashlib
+        root_tag = hashlib.md5(
+            osp.abspath(str(self.basepath)).encode()).hexdigest()[:8]
+        cache = osp.join(CACHE_DIR, "splits", "CLEVRTex",
+                         f"{self.variant}-{root_tag}",
                          f"index-max_{self.max_obj}.pkl")
         if osp.isfile(cache):
             d = load_obj(cache)

@@ -65,8 +65,14 @@ class MOViDataset(Dataset):
         return osp.join(folder, f"{i}_mask.png")
 
     def _index_clips(self):
+        # cache key includes the data_root hash — the same level/split under
+        # a different root (tests, relocated datasets) must not collide
+        import hashlib
+        root_tag = hashlib.md5(
+            osp.abspath(self.data_root).encode()).hexdigest()[:8]
         cache = osp.join(_cache_dir(), "splits", "MOVi",
-                         f"{self.level}-{self.layout}", f"{self.split}.json")
+                         f"{self.level}-{self.layout}-{root_tag}",
+                         f"{self.split}.json")
         if osp.isfile(cache):
             self.files = load_obj(cache)
         else:

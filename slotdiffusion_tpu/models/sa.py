@@ -183,7 +183,7 @@ class SA(nn.Module):
     def decode(self, slots):
         return self.decoder(slots)
 
-    def __call__(self, data_dict, testing=False):
+    def __call__(self, data_dict, train=True, testing=False):
         img = data_dict["img"]  # [B, H, W, 3]
         slots = self.encode(img)
         if testing:

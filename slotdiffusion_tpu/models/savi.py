@@ -157,7 +157,8 @@ class SAVi(nn.Module):
         """slots: [BT, N, D] -> (recon, recons, masks)."""
         return self.decoder(slots)
 
-    def __call__(self, data_dict, prev_slots=None, testing=False):
+    def __call__(self, data_dict, prev_slots=None, train=True,
+                 testing=False):
         img = data_dict["img"]  # [B, T, H, W, 3]
         B, T = img.shape[:2]
         slots, _ = self.encode(img, prev_slots=prev_slots)

@@ -78,6 +78,35 @@ class JSONLLogger:
                 f.write(json.dumps(record) + "\n")
 
 
+class WandbLogger(JSONLLogger):
+    """JSONL logging plus wandb when the package is importable and
+    `params.use_wandb` is set — the reference's logging backend
+    (scripts/train.py:58-63). Run id pinning for preemption resume is
+    supported via `params.wandb_id`."""
+
+    def __init__(self, log_dir, name="train", enabled=True, project=None,
+                 run_name=None, run_id=None, config=None):
+        super().__init__(log_dir, name=name, enabled=enabled)
+        self._wandb = None
+        if not enabled:
+            return
+        try:
+            import wandb
+            wandb.init(project=project or "SlotDiffusionTPU",
+                       name=run_name, id=run_id,
+                       resume="allow" if run_id else None, config=config)
+            self._wandb = wandb
+        except Exception:
+            self._wandb = None  # fall back to JSONL only
+
+    def log(self, record: Dict, step: int):
+        super().log(record, step)
+        if self._wandb is not None:
+            self._wandb.log(
+                {k: v for k, v in record.items() if k != "time"},
+                step=int(step))
+
+
 class Trainer:
     """Generic trainer over a (model, datamodule, params) triple.
 
@@ -120,8 +149,17 @@ class Trainer:
         self.clip_grad = params.get("clip_grad", -1)
         self.grad_accum_steps = params.get("grad_accum_steps", 1)
 
-        self.logger = JSONLLogger(
-            ckp_path, enabled=jax.process_index() == 0)
+        if params.get("use_wandb", False):
+            self.logger = WandbLogger(
+                ckp_path, enabled=jax.process_index() == 0,
+                project=params.get("project", None),
+                run_name=params.get("wandb_name", None),
+                run_id=params.get("wandb_id", None),
+                config=params.to_dict() if hasattr(params, "to_dict")
+                else None)
+        else:
+            self.logger = JSONLLogger(
+                ckp_path, enabled=jax.process_index() == 0)
 
         # loss weights captured statically for the jitted step
         self._loss_weights = {}
