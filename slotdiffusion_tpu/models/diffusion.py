@@ -240,6 +240,7 @@ class CondDDPM(nn.Module):
         rng, init_rng = jax.random.split(rng)
         x_T = noise_like(init_rng, shape, same_noise)
 
+        steps = min(steps, self.num_timesteps)  # tiny-T configs/tests
         tsteps = make_ddim_timesteps(steps, self.num_timesteps)
         tsteps = np.clip(tsteps, 0, self.num_timesteps - 1)
         sigmas, alphas, alphas_prev = make_ddim_sampling_parameters(
