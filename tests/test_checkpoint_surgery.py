@@ -136,3 +136,99 @@ def test_apply_pretrained_missing_path_errors():
     cfg.dec_dict = dict(vae_dict=dict(vqvae_ckp_path="/nonexistent/ckpt"))
     with pytest.raises(FileNotFoundError):
         apply_pretrained({"params": {}}, cfg)
+
+
+def _save_params(path, variables):
+    import orbax.checkpoint as ocp
+    import os.path as osp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(osp.abspath(path),
+               {"params": jax.device_get(variables["params"])}, force=True)
+    ckptr.wait_until_finished()
+
+
+def test_dvae_graft_into_slate(tmp_path):
+    """dVAE stage-1 -> SLATE.dvae (steve.py:78-87 analog)."""
+    import jax.numpy as jnp
+    dvae_p = BaseParams()
+    dvae_p.model = "dVAE"
+    dvae_p.resolution = RES
+    dvae_p.vocab_size = 64
+    dvae_p.dvae_dict = dict(down_factor=4, vocab_size=64)
+    dvae = build_model(dvae_p)
+    img = jnp.zeros((1, *RES, 3), jnp.float32)
+    dvae_vars = dvae.init(
+        {"params": jax.random.PRNGKey(0),
+         "gumbel": jax.random.PRNGKey(1)},
+        {"img": img}, method=dvae.compute_losses)
+    ckpt = str(tmp_path / "dvae_ck")
+    _save_params(ckpt, dvae_vars)
+
+    slate_p = BaseParams()
+    slate_p.model = "SLATE"
+    slate_p.resolution = RES
+    slate_p.slot_dict = dict(num_slots=4, slot_size=32, slot_mlp_size=64,
+                             num_iterations=2)
+    slate_p.enc_dict = dict(enc_channels=(3, 16, 16), enc_ks=5,
+                            enc_out_channels=32, enc_norm="")
+    slate_p.dec_dict = dict(dec_num_layers=1, dec_num_heads=2,
+                            dec_d_model=32)
+    slate_p.dvae_dict = dict(down_factor=4, vocab_size=64,
+                             dvae_ckp_path=ckpt)
+    slate_p.loss_dict = dict(use_img_recon_loss=False)
+    slate = build_model(slate_p)
+    slate_vars = slate.init(
+        {"params": jax.random.PRNGKey(2),
+         "gumbel": jax.random.PRNGKey(3)},
+        {"img": jnp.zeros((1, *RES, 3), jnp.float32)},
+        method=slate.compute_losses)
+    grafted = apply_pretrained(slate_vars, slate_p)
+    a = jax.tree_util.tree_leaves(grafted["params"]["dvae"])
+    b = jax.tree_util.tree_leaves(dvae_vars["params"])
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_dm_graft_into_ldmslotformer(tmp_path):
+    """Trained SAViDiffusion's dm_decoder -> LDMSlotFormer's frozen LDM
+    (ldm_slotformer.py:111-134 analog)."""
+    import jax.numpy as jnp
+    sd_p = _sadiff_params("")
+    sd_p.model = "SAViDiffusion"
+    sd_p.pred_dict = dict(pred_type="mlp", pred_rnn=False,
+                          pred_norm_first=True, pred_sg_every=None)
+    sd_p.n_sample_frames = 2
+    sd = build_model(sd_p)
+    vid = jnp.zeros((1, 2, *RES, 3), jnp.float32)
+    sd_vars = sd.init(
+        {"params": jax.random.PRNGKey(0),
+         "diffusion": jax.random.PRNGKey(1)},
+        {"img": vid}, method=sd.compute_losses)
+    ckpt = str(tmp_path / "sd_ck")
+    _save_params(ckpt, sd_vars)
+
+    lf_p = BaseParams()
+    lf_p.model = "LDMSlotFormer"
+    lf_p.resolution = RES
+    lf_p.clip_len = 5
+    lf_p.slot_dict = dict(num_slots=4, slot_size=32)
+    lf_p.rollout_dict = dict(num_slots=4, slot_size=32, history_len=3,
+                             t_pe="sin", slots_pe="", d_model=32,
+                             num_layers=1, num_heads=2, ffn_dim=64,
+                             norm_first=True)
+    lf_p.dec_dict = dict(sd_p.dec_dict)
+    lf_p.dec_dict["dm_ckp_path"] = ckpt
+    lf_p.loss_dict = dict(rollout_len=2, use_img_recon_loss=False)
+    lf = build_model(lf_p)
+    slots = jnp.zeros((1, 5, 4, 32), jnp.float32)
+    lf_vars = lf.init(
+        {"params": jax.random.PRNGKey(2),
+         "diffusion": jax.random.PRNGKey(3)},
+        {"slots": slots}, method=lf.compute_losses)
+    grafted = apply_pretrained(lf_vars, lf_p)
+    a = jax.tree_util.tree_leaves(grafted["params"]["dm_decoder"])
+    b = jax.tree_util.tree_leaves(sd_vars["params"]["dm_decoder"])
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
