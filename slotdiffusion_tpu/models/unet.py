@@ -34,29 +34,33 @@ def _attention(q, k, v, num_heads, dtype):
 
     q: [B, Nq, H*D], k/v: [B, Nk, H*D] -> [B, Nq, H*D].
 
-    The [B, H, Nq, Nk] logits round-trip through HBM between the two
-    matmuls (XLA cannot fuse across them), so they are *materialized* in
-    the compute dtype (bf16) to halve that traffic: MXU accumulation and
-    the softmax max/exp/sum still run in f32 inside the fusions (the
-    reference keeps fp32 throughout, QKVAttention unet.py:334 — on A40
-    that path is fp16 under AMP anyway). Measured: ~2% end-to-end at the
-    flagship scale (the logits round-trip is not the dominant cost).
+    Two implementations behind SLOTDIFFUSION_ATTN (default einsum):
+    in-context A/B at the flagship UNet scale measured the einsum+softmax
+    chain at ~195-199 steps/s vs ~191 for jax.nn.dot_product_attention
+    (the DPA win in isolated micro-benchmarks does not survive fusion
+    context). Logits materialize in bf16; softmax math is f32 in-register.
+    The reference's QKVAttention keeps fp32 throughout (unet.py:334), but
+    on its A40 that path runs fp16 under AMP anyway.
     """
+    import os
     B, Nq, HD = q.shape
     Nk = k.shape[1]
     D = HD // num_heads
     q = q.reshape(B, Nq, num_heads, D)
     k = k.reshape(B, Nk, num_heads, D)
     v = v.reshape(B, Nk, num_heads, D)
-    scale = D ** -0.5
-    logits = (jnp.einsum("bqhd,bkhd->bhqk", q, k,
+    if os.environ.get("SLOTDIFFUSION_ATTN", "einsum") == "einsum":
+        scale = D ** -0.5
+        logits = (jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                             preferred_element_type=jnp.float32)
+                  * scale).astype(dtype)
+        weights = jax.nn.softmax(
+            logits.astype(jnp.float32), axis=-1).astype(dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v,
                          preferred_element_type=jnp.float32)
-              * scale).astype(dtype)
-    weights = jax.nn.softmax(
-        logits.astype(jnp.float32), axis=-1).astype(dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v,
-                     preferred_element_type=jnp.float32).astype(dtype)
-    return out.reshape(B, Nq, HD)
+        return out.astype(dtype).reshape(B, Nq, HD)
+    out = jax.nn.dot_product_attention(q, k, v)
+    return out.astype(dtype).reshape(B, Nq, HD)
 
 
 class CrossAttention(nn.Module):
