@@ -83,9 +83,10 @@ def build_method(model, datamodule, params, ckp_path=None, **kwargs):
         step_scalars["gumbel_tau"] = lambda step: cosine_anneal(
             step, tau_start, tau_final, 0, tau_steps)
 
-    if model_name in ("SlotFormer", "LDMSlotFormer"):
-        # loss decay warmup (vp_vqa/method.py:188-210): factor ramps from
-        # min to 1.0 over decay_pct of training
+    if model_name in ("SlotFormer", "LDMSlotFormer") and \
+            params.get("use_loss_decay", False):
+        # loss decay warmup (vp_vqa/method.py:188-210, gated by
+        # use_loss_decay): factor ramps from min to 1.0 over decay_pct
         decay_min = params.get("loss_decay_min", 0.1)
         decay_pct = params.get("loss_decay_pct", 0.2)
         decay_steps = decay_pct * total_steps

@@ -16,7 +16,8 @@ custom checkpoint autograd function (unet/utils.py:16-67), bf16 compute with
 fp32 GroupNorm statistics.
 """
 
-from typing import Any, Optional, Sequence, Tuple
+import os
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +43,6 @@ def _attention(q, k, v, num_heads, dtype):
     The reference's QKVAttention keeps fp32 throughout (unet.py:334), but
     on its A40 that path runs fp16 under AMP anyway.
     """
-    import os
     B, Nq, HD = q.shape
     Nk = k.shape[1]
     D = HD // num_heads
