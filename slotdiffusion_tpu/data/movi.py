@@ -8,8 +8,9 @@ movi.py:147-180), mask id suppression, full-video `get_video` API, cached
 split file lists, corrupted-frame retry via SampleError.
 
 The STEVE-MOVi variants (steve_movi.py:14-132) use a different on-disk
-layout (`{video}/{frame}.png` + RGB-coded masks that need merging); the
-class below handles both through `layout`.
+layout (`{frame:08d}_image.png` + 10 per-object binary masks
+`{frame:08d}_mask_{k:02d}.png` merged by argmax) and only train/test
+splits; the class below handles both through `layout`.
 """
 
 import os.path as osp
@@ -36,9 +37,12 @@ class MOViDataset(Dataset):
     def __init__(self, level, data_root, resolution, split="train",
                  n_sample_frames=6, frame_offset=1, video_len=24,
                  load_mask=False, layout="movi"):
-        level = level.upper()
+        # MOVi levels are single letters (D/E); STEVE-MOVi uses Solid/Tex
+        level = level.upper() if layout == "movi" else level.capitalize()
         if split == "val":
             split = "validation"
+        if layout == "steve_movi" and split == "validation":
+            split = "test"  # STEVE-MOVi has no val split (steve_movi.py:30)
         assert split in ("train", "validation", "test")
         self.level = level
         self.split = split
@@ -54,15 +58,40 @@ class MOViDataset(Dataset):
 
     # ------------------------------------------------------------------
 
+    # STEVE-MOVi (Solid/Tex) ships 08d-padded PNG frames and NUM_MASKS
+    # per-object binary masks per frame (reference steve_movi.py:57,71-87)
+    NUM_STEVE_MASKS = 10
+
     def _frame_path(self, folder, i):
         if self.layout == "movi":
             return osp.join(folder, f"{i:06d}.jpg")
-        return osp.join(folder, f"{i}.png")
+        return osp.join(folder, f"{i:08d}_image.png")
 
     def _mask_path(self, folder, i):
         if self.layout == "movi":
             return osp.join(folder, f"{i:06d}_mask.png")
-        return osp.join(folder, f"{i}_mask.png")
+        return osp.join(folder, f"{i:08d}_mask.png")
+
+    def _read_mask(self, folder, i):
+        """One frame's integer mask. MOVi: grayscale id png. STEVE-MOVi:
+        merge the per-object binary masks by argmax with an all-ones
+        background inserted at id 0 (steve_movi.py:69-87)."""
+        if self.layout == "movi":
+            m = np.asarray(Image.open(self._mask_path(folder, i)))
+            if m.ndim == 3:  # RGB-coded ids -> flatten to ints
+                H, W = m.shape[:2]
+                flat = (m[..., 0].astype(np.int64) * 256 +
+                        m[..., 1]) * 256 + m[..., 2]
+                _, inv = np.unique(flat, return_inverse=True)
+                m = inv.reshape(H, W).astype(np.int32)
+            return m
+        prefix = self._mask_path(folder, i)[:-4]  # strip .png
+        objs = []
+        for k in range(self.NUM_STEVE_MASKS):
+            m = Image.open(f"{prefix}_{k:02d}.png").convert("L")
+            objs.append(np.asarray(m))
+        objs.insert(0, np.ones_like(objs[0]))
+        return np.stack(objs, axis=0).argmax(0).astype(np.int32)
 
     def _index_clips(self):
         # cache key includes the data_root hash — the same level/split under
@@ -114,16 +143,9 @@ class MOViDataset(Dataset):
                 raise SampleError(str(e))
             if self.load_mask:
                 try:
-                    m = Image.open(self._mask_path(folder, i))
+                    m = self._read_mask(folder, i)
                 except (FileNotFoundError, OSError) as e:
                     raise SampleError(str(e))
-                m = np.asarray(m)
-                if m.ndim == 3:  # RGB-coded (STEVE-MOVi) -> merge channels
-                    H, W = m.shape[:2]
-                    flat = (m[..., 0].astype(np.int64) * 256 +
-                            m[..., 1]) * 256 + m[..., 2]
-                    _, inv = np.unique(flat, return_inverse=True)
-                    m = inv.reshape(H, W).astype(np.int32)
                 masks.append(self.transforms.process_mask(m))
         img = np.stack(frames).astype(np.float32)
         if self.load_mask:

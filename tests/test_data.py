@@ -157,3 +157,43 @@ def test_movi_dataset_from_generated_layout(tmp_path):
     assert sv["masks"].shape == (3, 32, 32)
     # mask ids suppressed to consecutive ints
     assert sv["masks"].max() < 5
+
+
+def test_steve_movi_layout(tmp_path):
+    """STEVE-MOVi on-disk layout: 08d-padded PNG frames + 10 per-object
+    binary masks merged by argmax (reference steve_movi.py:57,69-87)."""
+    from slotdiffusion_tpu.data.movi import build_movi_dataset
+    from slotdiffusion_tpu.utils import BaseParams
+
+    root = tmp_path / "MOVi"
+    r = np.random.RandomState(0)
+    for split in ("train", "test"):
+        for vi in range(2):
+            vdir = root / "MOVi-Solid" / split / str(vi)
+            os.makedirs(vdir)
+            for t in range(4):
+                Image.fromarray(
+                    (r.rand(32, 32, 3) * 255).astype(np.uint8)).save(
+                        vdir / f"{t:08d}_image.png")
+                for k in range(10):
+                    m = np.zeros((32, 32), np.uint8)
+                    if k < 3:  # 3 real objects, rest empty
+                        m[k * 8:(k + 1) * 8, :] = 255
+                    Image.fromarray(m).save(
+                        vdir / f"{t:08d}_mask_{k:02d}.png")
+
+    p = BaseParams()
+    p.dataset = "steve_movi"
+    p.movi_level = "Solid"
+    p.data_root = str(root)
+    p.resolution = (32, 32)
+    p.n_sample_frames = 2
+    p.frame_offset = 1
+    p.video_len = 4
+    p.load_mask = True
+    train, val = build_movi_dataset(p)
+    s = val[0]
+    assert s["img"].shape == (2, 32, 32, 3)
+    assert s["masks"].shape == (2, 32, 32)
+    # 3 objects + background, ids suppressed to 0..3
+    assert set(np.unique(s["masks"])) == {0, 1, 2, 3}
