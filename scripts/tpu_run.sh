@@ -6,9 +6,11 @@
 #   TPU_NAME=my-v5e ZONE=us-west4-a PARAMS=configs/video_based/savi_ldm/savi_ldm_movie_params-res128.py \
 #       bash scripts/tpu_run.sh [extra train.py args...]
 #
-# On a pod slice the same command runs on every worker
-# (--worker=all); jax.distributed.initialize() wires the hosts together
-# and each host loads only its shard of every global batch.
+# On a pod slice the same command runs on every worker (--worker=all).
+# SLOTDIFFUSION_MULTIHOST=1 is exported so train.py's
+# maybe_initialize_distributed() calls jax.distributed.initialize()
+# (JAX auto-detects the pod-slice topology from the TPU metadata); each
+# host then loads only its process_index shard of every global batch.
 
 set -euo pipefail
 
@@ -23,7 +25,8 @@ CMD="python -u scripts/train.py --params $PARAMS $*"
 
 if [[ -n "$TPU_NAME" ]]; then
     gcloud compute tpus tpu-vm ssh "$TPU_NAME" --zone "$ZONE" \
-        --worker=all --command "cd $(pwd) && $CMD" \
+        --worker=all \
+        --command "cd $(pwd) && SLOTDIFFUSION_MULTIHOST=1 $CMD" \
         2>&1 | tee "$LOG_DIR/$RUN_NAME.log"
 else
     # already on the TPU VM

@@ -44,6 +44,11 @@ def main():
         # interpreter startup, which takes precedence over the env var
         jax.config.update("jax_platforms", "cpu")
 
+    # multi-host wiring (pod slice / Slurm / explicit coordinator env) —
+    # must happen before any backend-initializing JAX call below
+    from slotdiffusion_tpu.parallel import maybe_initialize_distributed
+    maybe_initialize_distributed()
+
     from slotdiffusion_tpu.data import DataModule, build_dataset
     from slotdiffusion_tpu.methods import build_method
     from slotdiffusion_tpu.models import build_model

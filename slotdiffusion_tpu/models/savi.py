@@ -177,6 +177,11 @@ class SAVi(nn.Module):
     def compute_losses(self, data_dict, sched=None, train=True,
                        testing=False):
         out = self(data_dict, testing=testing)
+        if testing:
+            # testing forward skips the decoder (returns slots only,
+            # reference video_based/models/savi.py loss_function testing
+            # path) — there is no reconstruction to score
+            return out, {}
         img = data_dict["img"]
         losses = {"img_recon_loss": jnp.mean(
             (out["recon_img"].astype(jnp.float32) -

@@ -1,3 +1,4 @@
+from .distributed import maybe_initialize_distributed
 from .mesh import (
     batch_sharding,
     get_mesh,
@@ -12,4 +13,5 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "maybe_initialize_distributed",
 ]

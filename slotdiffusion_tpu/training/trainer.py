@@ -124,6 +124,7 @@ class Trainer:
         ckp_path: Optional[str] = None,
         step_scalars: Optional[Dict[str, Callable]] = None,
         host_metrics_fn: Optional[Callable] = None,
+        viz_fn: Optional[Callable] = None,
         rng_names=("diffusion", "gumbel", "dropout", "default"),
         mesh=None,
         seed: int = 0,
@@ -134,6 +135,7 @@ class Trainer:
         self.ckp_path = ckp_path
         self.step_scalars = step_scalars or {}
         self.host_metrics_fn = host_metrics_fn
+        self.viz_fn = viz_fn
         self.rng_names = tuple(rng_names)
         self.mesh = mesh if mesh is not None else make_mesh()
         self.seed = seed
@@ -161,11 +163,12 @@ class Trainer:
             self.logger = JSONLLogger(
                 ckp_path, enabled=jax.process_index() == 0)
 
-        # loss weights captured statically for the jitted step
+        # loss weights captured statically for the jitted step, keyed by
+        # the full config name `foo_loss_w` (looked up in _weighted_total)
         self._loss_weights = {}
         for k in params.keys():
             if k.endswith("_loss_w"):
-                self._loss_weights[k[:-2]] = float(params.get(k))
+                self._loss_weights[k] = float(params.get(k))
 
         self.use_ema = bool(getattr(model, "use_ema", False) or
                             params.get("use_ema", False))
@@ -305,6 +308,11 @@ class Trainer:
         )
         self._eval_step = jax.jit(
             eval_step, in_shardings=(rep, data), out_shardings=(rep, rep))
+        # ragged final val batches (drop_last=False) can't be laid out over
+        # the data axis; they run through this replicated-input twin instead
+        # (one extra compile at the fixed remainder shape, exact averages)
+        self._eval_step_rep = jax.jit(
+            eval_step, in_shardings=(rep, rep), out_shardings=(rep, rep))
 
     # ------------------------------------------------------------------
     # checkpointing (orbax)
@@ -399,23 +407,50 @@ class Trainer:
         if self._eval_step is None:
             self._build_steps()
         meters: Dict[str, AverageMeter] = {}
+        first_viz = None  # (np_batch, out) of the first eval batch
+        n_data = int(np.prod(list(self.mesh.shape.values())))
         for i, batch in enumerate(self.datamodule.val_loader):
             if max_steps is not None and i >= max_steps:
                 break
             np_batch = batch
-            batch = shard_batch(batch, self.mesh)
-            out, losses = self._eval_step(self.state, batch)
+            bs_i = next(iter(batch.values())).shape[0]
+            if bs_i % n_data == 0:
+                batch = shard_batch(batch, self.mesh)
+                out, losses = self._eval_step(self.state, batch)
+            elif jax.process_count() == 1:
+                # ragged remainder: replicate instead of sharding
+                batch = jax.device_put(batch,
+                                       replicated_sharding(self.mesh))
+                out, losses = self._eval_step_rep(self.state, batch)
+            else:
+                # multi-host: a ragged global batch cannot be assembled
+                # from per-process strided shards; skip it (weighted
+                # averages over full batches remain exact)
+                continue
             losses = {k: float(v) for k, v in jax.device_get(losses).items()}
+            out_np = None
             if self.host_metrics_fn is not None:
-                losses.update(self.host_metrics_fn(
-                    np_batch, jax.device_get(out)))
+                out_np = jax.device_get(out)
+                losses.update(self.host_metrics_fn(np_batch, out_np))
+            if first_viz is None and self.viz_fn is not None:
+                first_viz = (np_batch,
+                             out_np if out_np is not None
+                             else jax.device_get(out))
             bs = next(iter(np_batch.values())).shape[0]
             for k, v in losses.items():
                 meters.setdefault(k, AverageMeter()).update(v, bs)
         results = {f"val/{k}": m.avg for k, m in meters.items()}
+        step = int(jax.device_get(self.state.step))
         if jax.process_index() == 0 and results:
-            step = int(jax.device_get(self.state.step))
             print(f"[val @ step {step}] " + " ".join(
                 f"{k}={v:.5g}" for k, v in results.items()))
             self.logger.log(results, step)
+        if (first_viz is not None and self.ckp_path and
+                jax.process_index() == 0 and
+                self.params.get("use_viz", True)):
+            viz_dir = os.path.join(self.ckp_path, "viz")
+            try:
+                self.viz_fn(self, first_viz[0], first_viz[1], step, viz_dir)
+            except Exception as e:  # viz must never kill training
+                print(f"[viz] skipped: {type(e).__name__}: {e}")
         return results

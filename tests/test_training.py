@@ -77,6 +77,140 @@ def test_grad_accum_multisteps():
     assert float(jnp.abs(up2["w"]).max()) > 0.0  # applied
 
 
+def _one_vqvae_train_step(quant_loss_w):
+    """One real jitted Trainer step on a tiny VQ-VAE; returns host metrics."""
+    from slotdiffusion_tpu.parallel.mesh import shard_batch
+
+    params = BaseParams()
+    params.model = "VQVAE"
+    params.resolution = (16, 16)
+    params.max_epochs = 1
+    params.lr = 1e-3
+    params.train_batch_size = 8
+    params.val_batch_size = 8
+    params.num_workers = 1
+    params.enc_dec_dict = dict(
+        resolution=16, in_channels=3, z_channels=3, ch=8, ch_mult=[1],
+        num_res_blocks=1, attn_resolutions=[], out_ch=3, dropout=0.0)
+    params.vq_dict = dict(n_embed=16, embed_dim=3, percept_loss_w=0.0)
+    params.recon_loss_w = 1.0
+    params.quant_loss_w = quant_loss_w
+
+    train_set = SyntheticImageDataset(resolution=(16, 16), num_samples=8)
+    dm = DataModule(params, train_set, train_set)
+    model = build_model(params)
+    method = build_method(model=model, datamodule=dm, params=params,
+                          ckp_path=None)
+    batch = shard_batch(next(iter(dm.train_loader)), method.mesh)
+    method.state = method._init_state(batch)
+    method._build_steps()
+    _, metrics = method._train_step(method.state, batch)
+    return {k: float(v) for k, v in jax.device_get(metrics).items()}
+
+
+def test_loss_weights_applied():
+    """Regression: `*_loss_w` config weights must reach the jitted step.
+
+    Round-1 bug: the weight table was keyed `foo_loss` but looked up as
+    `foo_loss_w`, so every configured weight silently collapsed to 1.0.
+    Same seed/data across both runs, so the unweighted component losses are
+    identical and only the weighting can change total/grads.
+    """
+    m0 = _one_vqvae_train_step(0.0)
+    m2 = _one_vqvae_train_step(2.0)
+    assert m0["train/quant_loss"] == pytest.approx(
+        m2["train/quant_loss"], rel=1e-5)
+    assert m0["train/quant_loss"] > 0.0
+    # w=0: quant term fully dropped from the total
+    assert m0["train/total_loss"] == pytest.approx(
+        m0["train/recon_loss"], rel=1e-5)
+    # w=2: exact doubling of the weighted term
+    assert m2["train/total_loss"] == pytest.approx(
+        m2["train/recon_loss"] + 2.0 * m2["train/quant_loss"], rel=1e-5)
+    # the weight must flow into the gradients too
+    assert abs(m0["train/grad_norm"] - m2["train/grad_norm"]) > 1e-8
+
+
+def test_ragged_val_batch_on_mesh():
+    """drop_last=False val sets whose size doesn't divide the mesh must
+    evaluate crash-free with exact batch-size-weighted averages (round-1
+    weakness: the final ragged batch crashed NamedSharding layout)."""
+    from slotdiffusion_tpu.parallel.mesh import (replicated_sharding,
+                                                 shard_batch)
+
+    params = BaseParams()
+    params.model = "SA"
+    params.resolution = (32, 32)
+    params.max_epochs = 1
+    params.lr = 1e-3
+    params.train_batch_size = 8
+    params.val_batch_size = 8
+    params.num_workers = 1
+    params.slot_dict = dict(num_slots=4, slot_size=32, slot_mlp_size=64,
+                            num_iterations=2)
+    params.enc_dict = dict(enc_channels=(3, 16, 16), enc_ks=5,
+                           enc_out_channels=32, enc_norm="")
+    params.dec_dict = dict(dec_channels=(32, 16, 16), dec_resolution=(8, 8),
+                           dec_ks=5, dec_norm="")
+    params.loss_dict = dict(use_img_recon_loss=True)
+
+    val_set = SyntheticImageDataset(resolution=(32, 32), num_samples=13,
+                                    seed=3)
+    dm = DataModule(params, None, val_set)
+    model = build_model(params)
+    method = build_method(model=model, datamodule=dm, params=params,
+                          ckp_path=None)
+    results = method.validate()
+    assert "val/img_recon_loss" in results
+
+    # exact weighted average over the [8, 5] batches
+    batches = list(dm.val_loader)
+    assert [b["img"].shape[0] for b in batches] == [8, 5]
+    vals = []
+    for b in batches:
+        if b["img"].shape[0] % len(jax.devices()) == 0:
+            _, losses = method._eval_step(
+                method.state, shard_batch(b, method.mesh))
+        else:
+            _, losses = method._eval_step_rep(
+                method.state,
+                jax.device_put(b, replicated_sharding(method.mesh)))
+        vals.append(float(jax.device_get(losses)["img_recon_loss"]))
+    expected = (8 * vals[0] + 5 * vals[1]) / 13
+    assert results["val/img_recon_loss"] == pytest.approx(expected, rel=1e-5)
+
+
+def test_viz_files_written(tmp_path):
+    """Epoch-end visual logging: validate() must write recon grids with
+    mask overlays under <ckp_path>/viz (reference logs sample grids every
+    epoch, img_based/method.py:320-376)."""
+    params = BaseParams()
+    params.model = "SA"
+    params.resolution = (32, 32)
+    params.max_epochs = 1
+    params.lr = 1e-3
+    params.train_batch_size = 8
+    params.val_batch_size = 8
+    params.num_workers = 1
+    params.slot_dict = dict(num_slots=4, slot_size=32, slot_mlp_size=64,
+                            num_iterations=2)
+    params.enc_dict = dict(enc_channels=(3, 16, 16), enc_ks=5,
+                           enc_out_channels=32, enc_norm="")
+    params.dec_dict = dict(dec_channels=(32, 16, 16), dec_resolution=(8, 8),
+                           dec_ks=5, dec_norm="")
+    params.loss_dict = dict(use_img_recon_loss=True)
+
+    val_set = SyntheticImageDataset(resolution=(32, 32), num_samples=8,
+                                    seed=4)
+    dm = DataModule(params, None, val_set)
+    model = build_model(params)
+    method = build_method(model=model, datamodule=dm, params=params,
+                          ckp_path=str(tmp_path))
+    method.validate(max_steps=1)
+    pngs = list((tmp_path / "viz").glob("*.png"))
+    assert pngs, "no viz files written"
+
+
 @pytest.mark.slow
 def test_end_to_end_sa_training_on_mesh():
     """Full Trainer.fit on the 8-device CPU mesh: loss must drop and seg
