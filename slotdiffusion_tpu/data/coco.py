@@ -49,6 +49,7 @@ class COCODataset(Dataset):
         assert split in ("train", "val")
         self.split = split
         self.resolution = tuple(resolution)
+        self.epoch = 0  # advanced by DataLoader.set_epoch
         self.load_anno = load_anno
         self.image_dir = osp.join(data_root, f"{split}2017")
         anno_file = osp.join(
@@ -57,6 +58,11 @@ class COCODataset(Dataset):
         self.image_ids = sorted(self.coco.getImgIds())
         self.cat_ids = sorted(self.coco.getCatIds())
         self.cat_id_to_label = {c: i for i, c in enumerate(self.cat_ids)}
+
+    def set_epoch(self, epoch: int):
+        """Fresh augmentation randomness every epoch (the reference's
+        RandomCrop/RandomHorizontalFlip draw per call)."""
+        self.epoch = int(epoch)
 
     def __len__(self):
         return len(self.image_ids)
@@ -104,7 +110,9 @@ class COCODataset(Dataset):
 
         # joint geometric transform
         res = self.resolution
-        rng = np.random.RandomState(idx) if self.split == "train" else None
+        rng = np.random.RandomState(
+            (self.epoch * 1000003 + idx * 7919 + 17) & 0x7FFFFFFF) \
+            if self.split == "train" else None
         img = _resize_min_shape(img, res)
         inst = _resize_min_shape(inst, res, nearest=True)
         overlap = _resize_min_shape(overlap, res, nearest=True)
@@ -132,6 +140,14 @@ class COCODataset(Dataset):
                 x1 = boxes[:, 0].copy()
                 boxes[:, 0] = w - boxes[:, 2]
                 boxes[:, 2] = w - x1
+        if len(boxes):
+            # clip to the crop window (reference CenterCrop clips annos to
+            # [0, resolution], coco_transforms.py:107-108) and drop boxes
+            # left with zero area
+            boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w)
+            boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h)
+            keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+            boxes = boxes[keep]
 
         out = {
             "data_idx": np.int32(idx),

@@ -83,6 +83,10 @@ class DataLoader:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        # datasets with per-sample augmentation RNG reseed on epoch
+        # boundaries (the DistributedSampler.set_epoch analog)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self):
         n = len(self.dataset)
@@ -154,6 +158,13 @@ class DataLoader:
             for pos in range(len(batches)):
                 with results_cv:
                     while pos not in results:
+                        # fail loudly instead of hanging the epoch when
+                        # every worker died without producing this batch
+                        # (e.g. a crash in a native decode path)
+                        if not any(t.is_alive() for t in threads):
+                            raise RuntimeError(
+                                f"all {self.num_workers} loader workers "
+                                f"exited without producing batch {pos}")
                         results_cv.wait(timeout=60.0)
                     batch = results.pop(pos)
                 if isinstance(batch, Exception):

@@ -100,6 +100,7 @@ class CondDDPM(nn.Module):
             resblock_updown=ud.get("resblock_updown", False),
             transformer_depth=ud.get("transformer_depth", 1),
             context_dim=ud.get("context_dim", None),
+            attn_backend=ud.get("attn_backend", "einsum"),
             dtype=self.dtype,
         )
 

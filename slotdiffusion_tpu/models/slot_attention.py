@@ -107,6 +107,7 @@ class SlotAttention(nn.Module):
             "ln_q_scale": self.param("ln_q_scale", ones, (D,)),
             "ln_q_bias": self.param("ln_q_bias", zeros, (D,)),
             "gru_wi": self.param("gru_wi", lecun, (D, 3 * D)),
+            "gru_bi": self.param("gru_bi", zeros, (3 * D,)),
             "gru_wh": self.param("gru_wh", _orthogonal_packed, (D, 3 * D)),
             "gru_bh": self.param("gru_bh", zeros, (3 * D,)),
             "ln_mlp_scale": self.param("ln_mlp_scale", ones, (D,)),

@@ -16,7 +16,6 @@ custom checkpoint autograd function (unet/utils.py:16-67), bf16 compute with
 fp32 GroupNorm statistics.
 """
 
-import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -30,18 +29,19 @@ Dtype = Any
 zero_init = nn.initializers.zeros
 
 
-def _attention(q, k, v, num_heads, dtype):
+def _attention(q, k, v, num_heads, dtype, backend="einsum"):
     """Multi-head attention over token dims.
 
     q: [B, Nq, H*D], k/v: [B, Nk, H*D] -> [B, Nq, H*D].
 
-    Two implementations behind SLOTDIFFUSION_ATTN (default einsum):
-    in-context A/B at the flagship UNet scale measured the einsum+softmax
-    chain at ~195-199 steps/s vs ~191 for jax.nn.dot_product_attention
-    (the DPA win in isolated micro-benchmarks does not survive fusion
-    context). Logits materialize in bf16; softmax math is f32 in-register.
-    The reference's QKVAttention keeps fp32 throughout (unet.py:334), but
-    on its A40 that path runs fp16 under AMP anyway.
+    Two implementations selected by `backend` (a model-config knob,
+    `unet_dict['attn_backend']`, default einsum): in-context A/B at the
+    flagship UNet scale measured the einsum+softmax chain at ~195-199
+    steps/s vs ~191 for jax.nn.dot_product_attention (the DPA win in
+    isolated micro-benchmarks does not survive fusion context).
+    Logits and softmax stay f32 end-to-end — matching the reference's
+    fp32 QKVAttention (unet.py:334) — and only the softmax weights are
+    cast to the compute dtype for the value matmul.
     """
     B, Nq, HD = q.shape
     Nk = k.shape[1]
@@ -49,13 +49,11 @@ def _attention(q, k, v, num_heads, dtype):
     q = q.reshape(B, Nq, num_heads, D)
     k = k.reshape(B, Nk, num_heads, D)
     v = v.reshape(B, Nk, num_heads, D)
-    if os.environ.get("SLOTDIFFUSION_ATTN", "einsum") == "einsum":
+    if backend == "einsum":
         scale = D ** -0.5
-        logits = (jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                             preferred_element_type=jnp.float32)
-                  * scale).astype(dtype)
-        weights = jax.nn.softmax(
-            logits.astype(jnp.float32), axis=-1).astype(dtype)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v,
                          preferred_element_type=jnp.float32)
         return out.astype(dtype).reshape(B, Nq, HD)
@@ -75,6 +73,7 @@ class CrossAttention(nn.Module):
     context_dim: Optional[int] = None
     num_heads: int = 8
     head_dim: int = 64
+    attn_backend: str = "einsum"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -84,7 +83,8 @@ class CrossAttention(nn.Module):
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
-        out = _attention(q, k, v, self.num_heads, self.dtype)
+        out = _attention(q, k, v, self.num_heads, self.dtype,
+                         backend=self.attn_backend)
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 
 
@@ -107,6 +107,7 @@ class TransformerBlock(nn.Module):
     num_heads: int
     head_dim: int
     context_dim: Optional[int] = None
+    attn_backend: str = "einsum"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -114,11 +115,13 @@ class TransformerBlock(nn.Module):
         x = x + CrossAttention(
             query_dim=self.dim, context_dim=None,
             num_heads=self.num_heads, head_dim=self.head_dim,
+            attn_backend=self.attn_backend,
             dtype=self.dtype, name="attn1")(
                 nn.LayerNorm(dtype=self.dtype)(x))
         x = x + CrossAttention(
             query_dim=self.dim, context_dim=self.context_dim,
             num_heads=self.num_heads, head_dim=self.head_dim,
+            attn_backend=self.attn_backend,
             dtype=self.dtype, name="attn2")(
                 nn.LayerNorm(dtype=self.dtype)(x), context=context)
         h = nn.LayerNorm(dtype=self.dtype)(x)
@@ -136,6 +139,7 @@ class SpatialTransformer(nn.Module):
     head_dim: int
     depth: int = 1
     context_dim: Optional[int] = None
+    attn_backend: str = "einsum"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -148,6 +152,7 @@ class SpatialTransformer(nn.Module):
             h = TransformerBlock(
                 dim=self.channels, num_heads=self.num_heads,
                 head_dim=self.head_dim, context_dim=self.context_dim,
+                attn_backend=self.attn_backend,
                 dtype=self.dtype, name=f"block{i}")(h, context=context)
         h = h.reshape(B, H, W, self.channels)
         h = nn.Conv(self.channels, (1, 1), kernel_init=zero_init,
@@ -243,6 +248,7 @@ class UNetModel(nn.Module):
     resblock_updown: bool = False
     transformer_depth: int = 1
     context_dim: Optional[int] = None
+    attn_backend: str = "einsum"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -265,6 +271,7 @@ class UNetModel(nn.Module):
                 head_dim=self.num_head_channels,
                 depth=self.transformer_depth,
                 context_dim=self.context_dim,
+                attn_backend=self.attn_backend,
                 dtype=self.dtype,
                 name=name)
 

@@ -22,10 +22,11 @@ Here the whole refinement (all iterations) is ONE Pallas kernel:
   with the reference's +eps renorm folded in exactly:
       attn_norm = (a + eps) / sum_n (a + eps)
       updates   = (num + eps * vsum) / (den + N * eps),  vsum = sum_n v.
-- the GRU cell (flax parameterization: input kernels bias-free,
-  hidden kernels biased, new-gate r-scaled hidden term) and the residual
-  MLP run in-kernel on the [S_pad, D] slots at the last N-tile of each
-  iteration — a handful of tiny MXU matmuls.
+- the GRU cell (torch.nn.GRUCell parameterization — input and hidden
+  biases on every gate, new-gate hidden term r-scaled; see the layout
+  note above SA_WEIGHT_KEYS) and the residual MLP run in-kernel on the
+  [S_pad, D] slots at the last N-tile of each iteration — a handful of
+  tiny MXU matmuls.
 
 Backward: `sa_iterations` is a jax.custom_vjp whose forward runs the Pallas
 kernel and whose backward is XLA autodiff of the pure-jnp twin
@@ -46,14 +47,21 @@ from jax.experimental.pallas import tpu as pltpu
 # weight-dict keys (all float32):
 #   wq [D, D]            q projection (no bias)
 #   ln_q_scale, ln_q_bias [D]
-#   gru_wi [D, 3D]       input kernels, packed (r | z | n), no bias
+#   gru_wi [D, 3D]       input kernels, packed (r | z | n)
+#   gru_bi [3D]          input biases,  packed (r | z | n)
 #   gru_wh [D, 3D]       hidden kernels, packed (r | z | n)
-#   gru_bh [3D]          hidden biases, packed (r | z | n)
+#   gru_bh [3D]          hidden biases,  packed (r | z | n)
 #   ln_mlp_scale, ln_mlp_bias [D]
 #   w1 [D, M], b1 [M], w2 [M, D], b2 [D]
-SA_WEIGHT_KEYS = ("wq", "ln_q_scale", "ln_q_bias", "gru_wi", "gru_wh",
-                  "gru_bh", "ln_mlp_scale", "ln_mlp_bias", "w1", "b1",
-                  "w2", "b2")
+#
+# GRU math (torch.nn.GRUCell parameterization — both input and hidden
+# biases on every gate, new-gate hidden term r-scaled *including* its
+# bias): this is a strict superset of flax.linen.GRUCell (which biases
+# the inputs on all gates but the hidden only on n), so weights from
+# either framework port exactly (flax: zero gru_bh[r|z] components).
+SA_WEIGHT_KEYS = ("wq", "ln_q_scale", "ln_q_bias", "gru_wi", "gru_bi",
+                  "gru_wh", "gru_bh", "ln_mlp_scale", "ln_mlp_bias",
+                  "w1", "b1", "w2", "b2")
 
 _LN_EPS = 1e-6
 
@@ -64,10 +72,11 @@ def _ln(x, scale, bias):
     return (x - mu) * jax.lax.rsqrt(var + _LN_EPS) * scale + bias
 
 
-def _gru(h, x, wi, wh, bh):
-    """flax.linen.GRUCell math (packed kernels, order r|z|n)."""
+def _gru(h, x, wi, bi, wh, bh):
+    """torch.nn.GRUCell math (packed kernels, order r|z|n); see the
+    weight-layout note above SA_WEIGHT_KEYS."""
     D = h.shape[-1]
-    gi = x @ wi                    # [S, 3D]
+    gi = x @ wi + bi               # [S, 3D]
     gh = h @ wh + bh               # [S, 3D]
     r = jax.nn.sigmoid(gi[..., :D] + gh[..., :D])
     z = jax.nn.sigmoid(gi[..., D:2 * D] + gh[..., D:2 * D])
@@ -101,8 +110,8 @@ def sa_iterations_ref(k, v, slots, p: Dict, *, num_iterations: int,
         attn = attn / jnp.sum(attn, axis=1, keepdims=True)
         updates = jnp.einsum(
             "bns,bnd->bsd", attn, v, preferred_element_type=jnp.float32)
-        new_slots = _gru(slots, updates, p["gru_wi"], p["gru_wh"],
-                         p["gru_bh"])
+        new_slots = _gru(slots, updates, p["gru_wi"], p["gru_bi"],
+                         p["gru_wh"], p["gru_bh"])
         slots = new_slots + (
             jax.nn.relu(_ln(new_slots, p["ln_mlp_scale"], p["ln_mlp_bias"])
                         @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"])
@@ -120,8 +129,8 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-def _sa_kernel(k_ref, v_ref, slots0_ref, wq_ref, lnq_ref, gwi_ref, gwh_ref,
-               gbh_ref, lnm_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+def _sa_kernel(k_ref, v_ref, slots0_ref, wq_ref, lnq_ref, gwi_ref, gbi_ref,
+               gwh_ref, gbh_ref, lnm_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                out_ref, mask_ref,
                slots_s, num_s, den_s, vsum_s,
                *, S, S_pad, D, N, TN, num_iterations, eps, scale,
@@ -180,8 +189,8 @@ def _sa_kernel(k_ref, v_ref, slots0_ref, wq_ref, lnq_ref, gwi_ref, gwh_ref,
     def _():
         updates = (num_s[:, :] + eps * vsum_s[:1, :]) / \
             (den_s[:, :1] + N * eps)  # [S_pad, D]
-        new_slots = _gru(slots, updates, gwi_ref[:, :], gwh_ref[:, :],
-                         gbh_ref[:, :])
+        new_slots = _gru(slots, updates, gwi_ref[:, :], gbi_ref[:, :],
+                         gwh_ref[:, :], gbh_ref[:, :])
         lnm = lnm_ref[:, :]
         h = jax.nn.relu(
             _ln(new_slots, lnm[0:1], lnm[1:2]) @ w1_ref[:, :] +
@@ -192,8 +201,8 @@ def _sa_kernel(k_ref, v_ref, slots0_ref, wq_ref, lnq_ref, gwi_ref, gwh_ref,
 
 
 def _sa_kernel_resident(k_ref, v_ref, slots0_ref, wq_ref, lnq_ref, gwi_ref,
-                        gwh_ref, gbh_ref, lnm_ref, w1_ref, b1_ref, w2_ref,
-                        b2_ref, out_ref, mask_ref,
+                        gbi_ref, gwh_ref, gbh_ref, lnm_ref, w1_ref, b1_ref,
+                        w2_ref, b2_ref, out_ref, mask_ref,
                         *, S, S_pad, D, N, G, num_iterations, eps, scale,
                         with_mask):
     """Small-N variant: the whole [N, D] k/v for G batch items is VMEM
@@ -227,8 +236,8 @@ def _sa_kernel_resident(k_ref, v_ref, slots0_ref, wq_ref, lnq_ref, gwi_ref,
                 preferred_element_type=jnp.float32)  # [S_pad, D]
             den = jnp.sum(a, axis=1, keepdims=True)  # [S_pad, 1]
             updates = (num + eps * vsum) / (den + N * eps)
-            new_slots = _gru(slots, updates, gwi_ref[:, :], gwh_ref[:, :],
-                             gbh_ref[:, :])
+            new_slots = _gru(slots, updates, gwi_ref[:, :], gbi_ref[:, :],
+                             gwh_ref[:, :], gbh_ref[:, :])
             h = jax.nn.relu(
                 _ln(new_slots, lnm[0:1], lnm[1:2]) @ w1_ref[:, :] +
                 b1_ref[:, :])
@@ -283,7 +292,8 @@ def _pallas_resident(k, v, slots0, p, *, B, N, S, S_pad, D, M, scale,
         in_specs=[
             per_b(N, D), per_b(N, D), per_b(S_pad, D),
             full(D, D), full(2, D),
-            full(D, 3 * D), full(D, 3 * D), full(1, 3 * D),
+            full(D, 3 * D), full(1, 3 * D), full(D, 3 * D),
+            full(1, 3 * D),
             full(2, D), full(D, M), full(1, M), full(M, D), full(1, D),
         ],
         out_specs=[per_b(S_pad, D), per_b(S_pad, N)],
@@ -297,6 +307,7 @@ def _pallas_resident(k, v, slots0, p, *, B, N, S, S_pad, D, M, scale,
             transcendentals=B * num_iterations * N * S_pad),
         interpret=interpret,
     )(k, v, slots0, f32(p["wq"]), lnq, f32(p["gru_wi"]),
+      f32(p["gru_bi"]).reshape(1, -1),
       f32(p["gru_wh"]), f32(p["gru_bh"]).reshape(1, -1), lnm,
       f32(p["w1"]), f32(p["b1"]).reshape(1, -1), f32(p["w2"]),
       f32(p["b2"]).reshape(1, -1))
@@ -374,7 +385,8 @@ def sa_iterations_pallas(k, v, slots, p: Dict, *, num_iterations: int,
             pl.BlockSpec((1, S_pad, D), lambda b, i, n: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             full(D, D), full(2, D),
-            full(D, 3 * D), full(D, 3 * D), full(1, 3 * D),
+            full(D, 3 * D), full(1, 3 * D), full(D, 3 * D),
+            full(1, 3 * D),
             full(2, D), full(D, M), full(1, M), full(M, D), full(1, D),
         ],
         out_specs=out_specs,
@@ -391,6 +403,7 @@ def sa_iterations_pallas(k, v, slots, p: Dict, *, num_iterations: int,
             transcendentals=B * num_iterations * N * S_pad),
         interpret=interpret,
     )(k, v, slots0, f32(p["wq"]), lnq, f32(p["gru_wi"]),
+      f32(p["gru_bi"]).reshape(1, -1),
       f32(p["gru_wh"]), f32(p["gru_bh"]).reshape(1, -1), lnm,
       f32(p["w1"]), f32(p["b1"]).reshape(1, -1), f32(p["w2"]),
       f32(p["b2"]).reshape(1, -1))
@@ -404,10 +417,13 @@ def sa_iterations_pallas(k, v, slots, p: Dict, *, num_iterations: int,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def sa_iterations(k, v, slots, p, num_iterations, eps,
                   return_last_attn=False):
-    """Fused slot-attention refinement: Pallas forward, autodiff-of-twin
-    backward. Falls back to the twin where Pallas can't tile the shapes."""
-    return sa_iterations_ref(k, v, slots, p, num_iterations=num_iterations,
-                             eps=eps, return_last_attn=return_last_attn)
+    """Fused slot-attention refinement: Pallas forward (both when called
+    directly — eval/inference — and as the primal of a differentiated
+    call), backward = autodiff of the jnp twin. Callers gate on
+    `pallas_supported` + TPU backend (models/slot_attention.py)."""
+    return sa_iterations_pallas(
+        k, v, slots, p, num_iterations=num_iterations, eps=eps,
+        return_last_attn=return_last_attn)
 
 
 def _sa_fwd(k, v, slots, p, num_iterations, eps, return_last_attn):

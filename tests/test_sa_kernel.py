@@ -23,6 +23,7 @@ def _weights(rng, D, M):
         "ln_q_scale": jnp.ones((D,)) * 1.1,
         "ln_q_bias": g(D) * 0.1,
         "gru_wi": g(D, 3 * D),
+        "gru_bi": g(3 * D) * 0.1,
         "gru_wh": g(D, 3 * D),
         "gru_bh": g(3 * D) * 0.1,
         "ln_mlp_scale": jnp.ones((D,)) * 0.9,
