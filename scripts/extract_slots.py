@@ -23,17 +23,23 @@ def main():
     parser.add_argument("--bs", type=int, default=4)
     parser.add_argument("--clip_len", type=int, default=-1,
                         help="static chunk length for long videos")
+    parser.add_argument("--seq_len", type=int, default=-1,
+                        help="override the dataset video length (datasets "
+                             "without full-video mode, e.g. synthetic)")
     args = parser.parse_args()
 
     import jax
     import numpy as np
 
     from slotdiffusion_tpu.data import DataLoader, build_dataset
+    from slotdiffusion_tpu.methods.inference import chunked_video_apply
     from slotdiffusion_tpu.models import build_model
     from slotdiffusion_tpu.training.checkpoint import load_model_params
     from slotdiffusion_tpu.utils import dump_obj, load_params
 
     params = load_params(args.params)
+    if args.seq_len > 0:
+        params.n_sample_frames = args.seq_len
     model = build_model(params)
     variables = load_model_params(model, args.weight, params)
     clip_len = args.clip_len if args.clip_len > 0 else params.get(
@@ -41,40 +47,16 @@ def main():
 
     @jax.jit
     def encode_chunk(img, prev_slots):
-        out = model.apply(variables, {"img": img}, prev_slots=prev_slots,
-                          train=False, testing=True,
-                          rngs={"diffusion": jax.random.PRNGKey(0)})
-        return out["slots"]
-
-    @jax.jit
-    def encode_first(img):
-        out = model.apply(variables, {"img": img}, train=False,
-                          testing=True,
-                          rngs={"diffusion": jax.random.PRNGKey(0)})
-        return out["slots"]
+        return model.apply(variables, {"img": img}, prev_slots=prev_slots,
+                           train=False, testing=True,
+                           rngs={"diffusion": jax.random.PRNGKey(0)})
 
     def encode_video(img):
-        """img: [B, T, H, W, 3]; static chunking with slot carry-over
-        (replaces the reference's OOM probing, savi.py:402-443)."""
-        T = img.shape[1]
-        slots_list = []
-        prev = None
-        for s in range(0, T, clip_len):
-            chunk = img[:, s:s + clip_len]
-            pad = clip_len - chunk.shape[1]
-            if pad > 0:  # static shapes: pad the tail chunk
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[:, -1:], pad, axis=1)], axis=1)
-            if prev is None:
-                slots = encode_first(chunk)
-            else:
-                slots = encode_chunk(chunk, prev)
-            slots = np.asarray(jax.device_get(slots))
-            if pad > 0:
-                slots = slots[:, :clip_len - pad]
-            slots_list.append(slots)
-            prev = slots[:, -1]
-        return np.concatenate(slots_list, axis=1)  # [B, T, N, C]
+        """img: [B, T, H, W, 3] -> slots [B, T, N, C] via the shared
+        static-chunk + slot-carry helper (methods/inference.py)."""
+        out = chunked_video_apply(encode_chunk, img, clip_len,
+                                  keys=("slots",))
+        return out["slots"]
 
     all_slots = {}
     for split in ("train", "val", "test"):

@@ -42,6 +42,25 @@ def build_dataset(params, val_only=False):
             num_samples=params.get("train_samples", 256), seed=0, **kw)
         return train_set, val_set
 
+    if name == "synthetic_video_slots":
+        from ..utils.misc import load_obj
+        from .synthetic_slots import SyntheticVideoSlotsDataset
+        all_slots = load_obj(params.slots_root)
+        kw = dict(
+            resolution=tuple(params.resolution),
+            video_len=params.get("video_len", 8),
+            max_objects=params.get("max_objects", 4),
+            load_img=params.get("load_img", False))
+        # extraction seeds: train split seed 0, val/test seed 1
+        # (synthetic.py SyntheticVideoDataset seeds in builders above)
+        val_split = all_slots.get("val", all_slots.get("test"))
+        val_set = SyntheticVideoSlotsDataset(val_split, seed=1, **kw)
+        if val_only:
+            return val_set
+        train_set = SyntheticVideoSlotsDataset(
+            all_slots["train"], seed=0, **kw)
+        return train_set, val_set
+
     if name == "synthetic_slots":
         from .synthetic_slots import SyntheticSlotsDataset
         for d in ("slot_dict", "rollout_dict", "readout_dict"):

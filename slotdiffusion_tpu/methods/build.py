@@ -19,6 +19,7 @@ import numpy as np
 from ..ops import metrics as M
 from ..training.trainer import Trainer
 from ..models.blocks import cosine_anneal
+from .viz import build_viz_fn
 
 
 def seg_metrics_fn(np_batch, out):
@@ -100,5 +101,6 @@ def build_method(model, datamodule, params, ckp_path=None, **kwargs):
         ckp_path=ckp_path,
         step_scalars=step_scalars or None,
         host_metrics_fn=host_metrics,
+        viz_fn=kwargs.pop("viz_fn", build_viz_fn(params)),
         **kwargs,
     )

@@ -127,16 +127,34 @@ class SADiffusion(nn.Module):
         return out, losses
 
     def log_images(self, data_dict, rng, use_dpm=True, same_noise=False,
-                   **kwargs):
-        """Slot-conditioned reconstruction (sa_diffusion.py:230-242)."""
+                   ret_intermed=False, **kwargs):
+        """Slot-conditioned reconstruction (sa_diffusion.py:230-242).
+
+        `ret_intermed=True` additionally returns the denoising trajectory
+        (the reference's `log_diffusion_rows`, img_based/method.py:320-376)
+        — DDIM is used for the row since DPM-Solver exposes no
+        intermediates.
+        """
         out = self(data_dict, train=False)
         samples = self.dm_decoder.generate_imgs(
-            rng, cond=out["slots"], use_dpm=use_dpm,
-            same_noise=same_noise, **kwargs)
+            rng, cond=out["slots"], use_dpm=use_dpm and not ret_intermed,
+            use_ddim=ret_intermed, same_noise=same_noise,
+            ret_intermed=ret_intermed, **kwargs)
+        intermed = None
+        if ret_intermed:
+            samples, intermed = samples
         if isinstance(self.dm_decoder, LDM):
             samples = self.dm_decoder.decode_latent(samples)
-        return {"samples": samples, "masks": out["masks"],
-                "slots": out["slots"]}
+            if intermed is not None:
+                K = intermed.shape[0]
+                flat = intermed.reshape(-1, *intermed.shape[2:])
+                dec = self.dm_decoder.decode_latent(flat)
+                intermed = dec.reshape(K, -1, *dec.shape[1:])
+        ret = {"samples": samples, "masks": out["masks"],
+               "slots": out["slots"]}
+        if intermed is not None:
+            ret["intermed"] = intermed  # [K, B, H, W, 3], x_T -> x_0
+        return ret
 
 
 class SAViDiffusion(nn.Module):

@@ -300,8 +300,10 @@ class VQVAE(nn.Module):
         if self.vq_dict.get("percept_loss_w", 0.0):
             from ..ops.lpips import lpips_available, lpips_distance
             if lpips_available():
-                losses["percept_loss"] = lpips_distance(
-                    out["recon"], img).mean()
+                # video inputs: LPIPS is per-frame, fold T into batch
+                rec, _ = _temporal_flatten(out["recon"])
+                gt, _ = _temporal_flatten(img)
+                losses["percept_loss"] = lpips_distance(rec, gt).mean()
         return out, losses
 
 

@@ -125,6 +125,37 @@ def pretrained_specs(cfg):
     return specs
 
 
+def apply_dino_pretrained(variables):
+    """Overlay pretrained DINO ViT weights onto every DINOEncoder subtree.
+
+    The reference loads facebook/dino-vit* from HF at ctor time
+    (video_based/models/dino.py:10-59); here weights come from the
+    `SLOTDIFFUSION_DINO_WEIGHTS` npz (keys relative to the encoder
+    subtree). No-op when the env var is unset or no DINO subtree exists.
+    """
+    from ..models.dino import load_dino_weights
+
+    params = variables["params"]
+    changed = False
+
+    def walk(node):
+        nonlocal changed
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if k.startswith("DINOEncoder"):
+                v, loaded = load_dino_weights(v)
+                changed = changed or loaded
+            else:
+                v = walk(v)
+            out[k] = v
+        return out
+
+    new_params = walk(params)
+    return ({"params": new_params} if changed else variables), changed
+
+
 def apply_pretrained(variables, cfg):
     """Graft every configured stage-1 checkpoint into `variables`."""
     for ckp_path, dst, src in pretrained_specs(cfg):
@@ -134,4 +165,5 @@ def apply_pretrained(variables, cfg):
                 f"not found — train the stage-1 model first or clear the "
                 f"config path")
         variables = load_pretrained_subtree(variables, ckp_path, dst, src)
+    variables, _ = apply_dino_pretrained(variables)
     return variables

@@ -1,0 +1,212 @@
+"""Pretrained-weight loading paths: LPIPS perceptual loss + DINO overlay.
+
+Round-1 gap: the converters existed but the branches they feed were never
+exercised (no weights in this egressless image). These tests drive both
+paths with *random* weights in the exact on-disk format the converters
+emit, so the loaders, the VQ-VAE `percept_loss` branch
+(reference video_based/models/vqvae/loss.py:8-46) and the SA-DINO overlay
+(reference video_based/models/dino.py:10-59) are covered by CI even
+without the real pretrained files.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from slotdiffusion_tpu.ops import lpips as lpips_mod
+
+pytestmark = pytest.mark.fast
+
+
+# ----------------------------------------------------------------------
+# LPIPS
+# ----------------------------------------------------------------------
+
+def _tiny_vgg_npz(path, rng):
+    """Random weights in convert_torch_lpips_npz's format, but with a
+    narrow VGG (channel counts come entirely from the stored shapes, so
+    the loader/feature code accepts any width)."""
+    widths = [8, 8, 16, 16, 24, 24, 24, 32, 32, 32, 32, 32, 32]
+    data = {}
+    in_ch = 3
+    for i, out_ch in enumerate(widths):
+        # HWIO layout branch of the loader
+        data[f"conv{i}_w"] = rng.randn(3, 3, in_ch, out_ch).astype(
+            np.float32) * 0.2
+        data[f"conv{i}_b"] = np.zeros(out_ch, np.float32)
+        in_ch = out_ch
+    taps = [8, 16, 24, 32, 32]  # channels at relu1_2..relu5_3
+    for j, ch in enumerate(taps):
+        data[f"lin{j}_w"] = np.abs(rng.randn(ch).astype(np.float32))
+    np.savez(path, **data)
+    return path
+
+
+@pytest.fixture
+def lpips_weights(tmp_path, rng, monkeypatch):
+    path = _tiny_vgg_npz(str(tmp_path / "lpips.npz"), rng)
+    monkeypatch.setenv(lpips_mod.WEIGHTS_ENV, path)
+    lpips_mod._load_weights.cache_clear()
+    yield path
+    lpips_mod._load_weights.cache_clear()
+
+
+def test_lpips_unavailable_without_weights(monkeypatch):
+    monkeypatch.delenv(lpips_mod.WEIGHTS_ENV, raising=False)
+    assert not lpips_mod.lpips_available()
+
+
+def test_lpips_distance_properties(lpips_weights, rng):
+    assert lpips_mod.lpips_available()
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1)
+    y = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1)
+    d_xy = np.asarray(lpips_mod.lpips_distance(x, y))
+    d_xx = np.asarray(lpips_mod.lpips_distance(x, x))
+    assert d_xy.shape == (2,)
+    assert (d_xy > 0).all()
+    np.testing.assert_allclose(d_xx, 0.0, atol=1e-5)
+
+
+def _tiny_vqvae(percept_w):
+    from slotdiffusion_tpu.models import build_model
+    from slotdiffusion_tpu.utils.config import BaseParams
+
+    params = BaseParams()
+    params.model = "VQVAE"
+    params.resolution = (32, 32)
+    params.enc_dec_dict = dict(
+        resolution=32, in_channels=3, z_channels=4, ch=16, ch_mult=(1, 2),
+        num_res_blocks=1, attn_resolutions=(), out_ch=3, dropout=0.0)
+    params.vq_dict = dict(n_embed=32, embed_dim=4, percept_loss_w=percept_w)
+    return build_model(params)
+
+
+def test_vqvae_percept_loss_active_and_differentiable(lpips_weights, rng):
+    model = _tiny_vqvae(percept_w=1.0)
+    img = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1)
+    variables = model.init(jax.random.PRNGKey(0), {"img": img},
+                           method=model.compute_losses)
+
+    def percept(p):
+        _, losses = model.apply({"params": p}, {"img": img},
+                                method=model.compute_losses)
+        assert "percept_loss" in losses
+        return losses["percept_loss"]
+
+    val, grads = jax.value_and_grad(percept)(variables["params"])
+    assert float(val) > 0.0
+    gnorm = float(jax.device_get(
+        jnp.sqrt(sum(jnp.sum(g ** 2) for g in jax.tree_util.tree_leaves(
+            grads)))))
+    assert gnorm > 0.0, "percept_loss produced no gradient"
+
+
+def test_vqvae_percept_loss_video_inputs(lpips_weights, rng):
+    """Temporal wrapper: LPIPS folds T into batch instead of crashing on
+    5D inputs."""
+    model = _tiny_vqvae(percept_w=1.0)
+    img = jnp.asarray(rng.rand(1, 3, 32, 32, 3).astype(np.float32) * 2 - 1)
+    variables = model.init(jax.random.PRNGKey(0), {"img": img},
+                           method=model.compute_losses)
+    _, losses = model.apply(variables, {"img": img},
+                            method=model.compute_losses)
+    assert float(losses["percept_loss"]) > 0.0
+
+
+def test_vqvae_percept_loss_skipped_without_weights(monkeypatch, rng):
+    monkeypatch.delenv(lpips_mod.WEIGHTS_ENV, raising=False)
+    lpips_mod._load_weights.cache_clear()
+    model = _tiny_vqvae(percept_w=1.0)
+    img = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1)
+    variables = model.init(jax.random.PRNGKey(0), {"img": img},
+                           method=model.compute_losses)
+    _, losses = model.apply(variables, {"img": img},
+                            method=model.compute_losses)
+    assert "percept_loss" not in losses
+
+
+# ----------------------------------------------------------------------
+# DINO overlay
+# ----------------------------------------------------------------------
+
+def test_dino_overlay_changes_output(tmp_path, rng, monkeypatch):
+    from slotdiffusion_tpu.models.dino import (DINOEncoder, WEIGHTS_ENV,
+                                               load_dino_weights)
+
+    enc = DINOEncoder(patch_size=8, small_size=True)
+    img = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    variables = enc.init(jax.random.PRNGKey(0), img)
+    base_out = enc.apply(variables, img)
+
+    # npz with keys relative to the encoder subtree (converter format)
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    data = {}
+    for kpath, leaf in flat:
+        key = "/".join(str(getattr(k, "key", k)) for k in kpath)
+        data[key] = np.asarray(leaf) + 0.05  # distinct from random init
+    path = str(tmp_path / "dino.npz")
+    np.savez(path, **data)
+
+    monkeypatch.delenv(WEIGHTS_ENV, raising=False)
+    p_same, loaded = load_dino_weights(variables["params"])
+    assert not loaded
+
+    monkeypatch.setenv(WEIGHTS_ENV, path)
+    p_new, loaded = load_dino_weights(variables["params"])
+    assert loaded
+    out = enc.apply({"params": p_new}, img)
+    assert not np.allclose(np.asarray(out), np.asarray(base_out))
+
+
+def test_apply_pretrained_overlays_dino_subtree(tmp_path, rng, monkeypatch):
+    """Trainer-path integration: apply_pretrained must find the nested
+    DINOEncoder subtree inside an SA model and overlay it."""
+    from slotdiffusion_tpu.models import build_model
+    from slotdiffusion_tpu.models.dino import WEIGHTS_ENV
+    from slotdiffusion_tpu.training.checkpoint import apply_dino_pretrained
+    from slotdiffusion_tpu.utils.config import BaseParams
+
+    params = BaseParams()
+    params.model = "SA"
+    params.resolution = (32, 32)
+    params.slot_dict = dict(num_slots=3, slot_size=16, slot_mlp_size=32,
+                            num_iterations=1)
+    params.enc_dict = dict(dino=True, patch_size=8, small_size=True,
+                           enc_out_channels=16)
+    params.dec_dict = dict(dec_channels=(16, 16, 16),
+                           dec_resolution=(8, 8), dec_ks=3, dec_norm="")
+    params.loss_dict = dict(use_img_recon_loss=True)
+    model = build_model(params)
+    img = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), {"img": img})
+
+    # locate the DINO subtree and dump a shifted copy as the npz
+    def find(node, path=()):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k.startswith("DINOEncoder"):
+                    return v, path + (k,)
+                got = find(v, path + (k,))
+                if got is not None:
+                    return got
+        return None
+
+    sub, sub_path = find(variables["params"])
+    flat = jax.tree_util.tree_flatten_with_path(sub)[0]
+    data = {"/".join(str(getattr(k, "key", k)) for k in kp):
+            np.asarray(v) + 0.03 for kp, v in flat}
+    path = str(tmp_path / "dino_sa.npz")
+    np.savez(path, **data)
+    monkeypatch.setenv(WEIGHTS_ENV, path)
+
+    new_vars, changed = apply_dino_pretrained(variables)
+    assert changed
+    node = new_vars["params"]
+    for k in sub_path:
+        node = node[k]
+    leaf_old = jax.tree_util.tree_leaves(sub)[0]
+    leaf_new = jax.tree_util.tree_leaves(node)[0]
+    np.testing.assert_allclose(np.asarray(leaf_new),
+                               np.asarray(leaf_old) + 0.03, rtol=1e-6)
