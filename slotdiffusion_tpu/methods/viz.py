@@ -56,7 +56,8 @@ def _save(trainer, tag, img, step, viz_dir, fps=None):
     mkdir_or_exist(viz_dir)
     if fps is not None:
         path = os.path.join(viz_dir, f"step{step}_{tag}.mp4")
-        save_video(np.asarray(img).astype(np.uint8), path, fps=fps)
+        # save_video falls back to .gif when no mp4 backend exists
+        path = save_video(np.asarray(img).astype(np.uint8), path, fps=fps)
     else:
         path = os.path.join(viz_dir, f"step{step}_{tag}.png")
         save_image(np.asarray(img).astype(np.uint8), path)

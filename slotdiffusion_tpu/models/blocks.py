@@ -28,31 +28,58 @@ conv_kernel_init = nn.initializers.variance_scaling(
 default_dense_init = nn.initializers.lecun_normal()
 
 
+class _GNAffine(nn.Module):
+    """Param holder for GroupNorm scale/bias.
+
+    Named "GroupNorm_0" by GroupNorm32 so the param tree is byte-identical
+    to the earlier flax.linen.GroupNorm-backed implementation (checkpoints
+    stay loadable).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32),
+                self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32))
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm computed in fp32 regardless of input dtype.
 
     TPU analog of the reference's GroupNorm32 (unet/utils.py:108-124):
     normalization statistics are accumulated in fp32 for bf16 activations.
+
+    `act='silu'` fuses the activation that always follows GN in ResBlocks
+    (reference unet.py:182-285); `fused=True` routes 4D inputs through the
+    single-HBM-pass Pallas kernel (ops/fused_norm.py) when the shape
+    supports it — numerics match the jnp path to f32 rounding.
     """
 
     num_groups: int = 32
     epsilon: float = 1e-5
+    act: Optional[str] = None
+    fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        orig_dtype = x.dtype
+        from ..ops.fused_norm import (fused_gn_supported, fused_group_norm,
+                                      group_norm_reference)
+
         num_groups = min(self.num_groups, x.shape[-1])
         # find a divisor if channels not divisible by num_groups
         while x.shape[-1] % num_groups != 0:
             num_groups -= 1
-        out = nn.GroupNorm(
-            num_groups=num_groups,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        return out.astype(orig_dtype)
+        scale, bias = _GNAffine(x.shape[-1], name="GroupNorm_0")()
+        if self.fused and not self.is_initializing() and \
+                fused_gn_supported(x.shape, num_groups):
+            return fused_group_norm(x, scale, bias, num_groups,
+                                    self.epsilon, self.act)
+        return group_norm_reference(x, scale, bias, num_groups,
+                                    self.epsilon, self.act)
 
 
 def get_norm(norm: str, dtype=jnp.float32):

@@ -101,6 +101,9 @@ class CondDDPM(nn.Module):
             transformer_depth=ud.get("transformer_depth", 1),
             context_dim=ud.get("context_dim", None),
             attn_backend=ud.get("attn_backend", "einsum"),
+            attn_softmax=ud.get("attn_softmax", "fast"),
+            fused_gn=ud.get("fused_gn", False),
+            conv_out_compute=ud.get("conv_out_compute", "f32"),
             dtype=self.dtype,
         )
 

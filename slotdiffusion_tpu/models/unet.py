@@ -29,31 +29,60 @@ Dtype = Any
 zero_init = nn.initializers.zeros
 
 
-def _attention(q, k, v, num_heads, dtype, backend="einsum"):
+def _fast_softmax(logits, axis=-1):
+    """Softmax without the max-subtraction passes.
+
+    For any constant c, softmax(x) == exp(x-c)/sum(exp(x-c)) exactly; the
+    max-subtraction exists only to bound the exp argument. Here logits are
+    f32 products of LayerNorm'd bf16 activations scaled by D^-0.5, so
+    |logits| << 80 in practice; the clamp turns a pathological overflow
+    into a mild distortion instead of inf/NaN, and the denominator epsilon
+    turns an all-underflowed row into zero weights instead of NaN.
+    Measured on v5e (scripts/bench_unet_ab3.py): the two removed
+    reduce/broadcast passes over the f32 logits are worth ~0.4ms/step on
+    the flagship UNet (184 -> 199 steps/s).
+    """
+    e = jnp.exp(jnp.minimum(logits, 80.0))
+    return e / (jnp.sum(e, axis=axis, keepdims=True) + 1e-30)
+
+
+def _attention(q, k, v, num_heads, dtype, backend="einsum",
+               softmax="fast"):
     """Multi-head attention over token dims.
 
     q: [B, Nq, H*D], k/v: [B, Nk, H*D] -> [B, Nq, H*D].
 
-    Two implementations selected by `backend` (a model-config knob,
-    `unet_dict['attn_backend']`, default einsum): in-context A/B at the
-    flagship UNet scale measured the einsum+softmax chain at ~195-199
-    steps/s vs ~191 for jax.nn.dot_product_attention (the DPA win in
-    isolated micro-benchmarks does not survive fusion context).
-    Logits and softmax stay f32 end-to-end — matching the reference's
+    Backend is a model-config knob (`unet_dict['attn_backend']`):
+    - "einsum": explicit f32-softmax einsum chain.
+    - "dpa": jax.nn.dot_product_attention.
+    - "auto": einsum for long token rows, dpa below 256 tokens —
+      per-resolution A/B on TPU v5e (scripts/bench_attention.py) measured
+      einsum winning at N=256 but dpa winning at N=64/16; in full-model
+      context the difference vanished (scripts/bench_unet_ab.py), so
+      "einsum" stays the default.
+    Einsum logits/softmax stay f32 end-to-end — matching the reference's
     fp32 QKVAttention (unet.py:334) — and only the softmax weights are
-    cast to the compute dtype for the value matmul.
+    cast to the compute dtype for the value matmul. `softmax` picks the
+    fast (no max-subtraction) or numerically-stable jax.nn.softmax
+    variant (`unet_dict['attn_softmax']`).
     """
     B, Nq, HD = q.shape
     Nk = k.shape[1]
     D = HD // num_heads
+    if backend == "fused":
+        from ..ops.attention_kernel import fused_mha
+        return fused_mha(q, k, v, num_heads)
     q = q.reshape(B, Nq, num_heads, D)
     k = k.reshape(B, Nk, num_heads, D)
     v = v.reshape(B, Nk, num_heads, D)
+    if backend == "auto":
+        backend = "einsum" if Nq >= 256 else "dpa"
     if backend == "einsum":
         scale = D ** -0.5
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32) * scale
-        weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        sm = _fast_softmax if softmax == "fast" else jax.nn.softmax
+        weights = sm(logits, axis=-1).astype(dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v,
                          preferred_element_type=jnp.float32)
         return out.astype(dtype).reshape(B, Nq, HD)
@@ -74,6 +103,7 @@ class CrossAttention(nn.Module):
     num_heads: int = 8
     head_dim: int = 64
     attn_backend: str = "einsum"
+    attn_softmax: str = "fast"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -84,7 +114,8 @@ class CrossAttention(nn.Module):
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
         out = _attention(q, k, v, self.num_heads, self.dtype,
-                         backend=self.attn_backend)
+                         backend=self.attn_backend,
+                         softmax=self.attn_softmax)
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 
 
@@ -108,6 +139,7 @@ class TransformerBlock(nn.Module):
     head_dim: int
     context_dim: Optional[int] = None
     attn_backend: str = "einsum"
+    attn_softmax: str = "fast"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -116,12 +148,14 @@ class TransformerBlock(nn.Module):
             query_dim=self.dim, context_dim=None,
             num_heads=self.num_heads, head_dim=self.head_dim,
             attn_backend=self.attn_backend,
+            attn_softmax=self.attn_softmax,
             dtype=self.dtype, name="attn1")(
                 nn.LayerNorm(dtype=self.dtype)(x))
         x = x + CrossAttention(
             query_dim=self.dim, context_dim=self.context_dim,
             num_heads=self.num_heads, head_dim=self.head_dim,
             attn_backend=self.attn_backend,
+            attn_softmax=self.attn_softmax,
             dtype=self.dtype, name="attn2")(
                 nn.LayerNorm(dtype=self.dtype)(x), context=context)
         h = nn.LayerNorm(dtype=self.dtype)(x)
@@ -140,12 +174,14 @@ class SpatialTransformer(nn.Module):
     depth: int = 1
     context_dim: Optional[int] = None
     attn_backend: str = "einsum"
+    attn_softmax: str = "fast"
+    fused_gn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, context=None):
         B, H, W, C = x.shape
-        h = GroupNorm32(dtype=self.dtype)(x)
+        h = GroupNorm32(fused=self.fused_gn, dtype=self.dtype)(x)
         h = nn.Conv(self.channels, (1, 1), dtype=self.dtype)(h)
         h = h.reshape(B, H * W, self.channels)
         for i in range(self.depth):
@@ -153,6 +189,7 @@ class SpatialTransformer(nn.Module):
                 dim=self.channels, num_heads=self.num_heads,
                 head_dim=self.head_dim, context_dim=self.context_dim,
                 attn_backend=self.attn_backend,
+                attn_softmax=self.attn_softmax,
                 dtype=self.dtype, name=f"block{i}")(h, context=context)
         h = h.reshape(B, H, W, self.channels)
         h = nn.Conv(self.channels, (1, 1), kernel_init=zero_init,
@@ -163,18 +200,22 @@ class SpatialTransformer(nn.Module):
 class ResBlock(nn.Module):
     """GN -> SiLU -> conv, +time-emb FiLM-add, GN -> SiLU -> zero-init conv,
     residual with 1x1 skip on channel change (reference unet.py:182-285).
-    Optional fused up/downsampling applied to both paths."""
+    Optional fused up/downsampling applied to both paths.
+
+    `fused_gn=True` runs each GN+SiLU pair as one single-HBM-pass Pallas
+    kernel (ops/fused_norm.py) on TPU; numerics match to f32 rounding."""
 
     out_channels: int
     dropout: float = 0.0
     up: bool = False
     down: bool = False
+    fused_gn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, emb, train=False):
-        h = GroupNorm32(dtype=self.dtype)(x)
-        h = nn.silu(h)
+        h = GroupNorm32(act="silu", fused=self.fused_gn,
+                        dtype=self.dtype)(x)
         if self.up:
             h = _upsample2x(h)
             x = _upsample2x(x)
@@ -185,8 +226,8 @@ class ResBlock(nn.Module):
         emb_out = nn.Dense(self.out_channels, dtype=self.dtype)(
             nn.silu(emb))
         h = h + emb_out[:, None, None, :]
-        h = GroupNorm32(dtype=self.dtype)(h)
-        h = nn.silu(h)
+        h = GroupNorm32(act="silu", fused=self.fused_gn,
+                        dtype=self.dtype)(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.Conv(self.out_channels, (3, 3), kernel_init=zero_init,
@@ -218,17 +259,107 @@ class Downsample(nn.Module):
         return _avgpool2x(x)
 
 
-class Upsample(nn.Module):
-    out_channels: int
-    use_conv: bool = True
+class _PhaseUpConv(nn.Module):
+    """nearest-x2 followed by a 3x3 conv, computed as four 2x2 convs on
+    the coarse grid + depth-to-space interleave.
+
+    Every fine-grid output phase (a, b) of conv3x3(nearest2x(x)) reads a
+    fixed 2x2 coarse neighborhood whose taps are sums of adjacent 3x3
+    weights (row taps for phase a=0: [W0, W1+W2]; a=1: [W0+W1, W2];
+    same per column), so the rewrite is EXACT (verified to 1e-6 under
+    f32 matmul precision, scripts/bench_unet_ab9.py) while doing 16
+    MACs/output instead of 36 and never materializing the 4x-upsampled
+    tensor. Params are identical to the nn.Conv it replaces
+    (kernel [3,3,Cin,Cout] + bias [Cout]) so checkpoints interchange.
+    Measured on v5e: +175us/step on the flagship UNet (198 -> 205
+    steps/s); the weight recombination is loop-invariant and hoisted by
+    XLA out of sampling/training loops.
+    """
+
+    features: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        C = x.shape[-1]
+        W = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, C, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        Wf = W.astype(jnp.float32)
+        rows = {0: (Wf[0], Wf[1] + Wf[2]), 1: (Wf[0] + Wf[1], Wf[2])}
+
+        def phase_kernel(a, bb):
+            def cols(Wr):  # Wr: [3, Cin, Cout]
+                return {0: (Wr[0], Wr[1] + Wr[2]),
+                        1: (Wr[0] + Wr[1], Wr[2])}[bb]
+            r0, r1 = rows[a]
+            c00, c01 = cols(r0)
+            c10, c11 = cols(r1)
+            k = jnp.stack([jnp.stack([c00, c01], 0),
+                           jnp.stack([c10, c11], 0)], 0)
+            return k.astype(self.dtype)  # [2, 2, Cin, Cout]
+
+        xd = x.astype(self.dtype)
+        dn = jax.lax.conv_dimension_numbers(
+            xd.shape, (2, 2, C, self.features), ("NHWC", "HWIO", "NHWC"))
+        outs = []
+        for a in (0, 1):
+            for bb in (0, 1):
+                pad = ((1 - a, a), (1 - bb, bb))
+                outs.append(jax.lax.conv_general_dilated(
+                    xd, phase_kernel(a, bb), (1, 1), pad,
+                    dimension_numbers=dn))
+        B, H, Wd, F = outs[0].shape
+        z = jnp.stack(outs, 0).reshape(2, 2, B, H, Wd, F)
+        z = z.transpose(2, 3, 0, 4, 1, 5).reshape(B, 2 * H, 2 * Wd, F)
+        return (z + b.astype(self.dtype)).astype(xd.dtype)
+
+
+class Upsample(nn.Module):
+    out_channels: int
+    use_conv: bool = True
+    # exact phase-conv rewrite of nearest2x + conv3x3 (see _PhaseUpConv);
+    # False = direct formulation (used by bench.py's FLOP accounting and
+    # as a numerics cross-check — both paths share the Conv_0 params)
+    phase: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.use_conv and self.phase:
+            return _PhaseUpConv(self.out_channels, dtype=self.dtype,
+                                name="Conv_0")(x)
         x = _upsample2x(x)
         if self.use_conv:
-            x = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype)(x)
+            x = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype,
+                        name="Conv_0")(x)
         return x
+
+
+class _ConvOutBf16Acc(nn.Module):
+    """Zero-init 3x3 output conv: bf16 operands, f32 accumulation/output.
+
+    Param layout identical to nn.Conv (kernel/bias), so it swaps with the
+    f32 `conv_out` without checkpoint changes.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        W = self.param("kernel", zero_init, (3, 3, C, self.features),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, W.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), W.astype(jnp.bfloat16), (1, 1),
+            "SAME", dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
+        return y + b
 
 
 class UNetModel(nn.Module):
@@ -249,14 +380,31 @@ class UNetModel(nn.Module):
     transformer_depth: int = 1
     context_dim: Optional[int] = None
     attn_backend: str = "einsum"
+    attn_softmax: str = "fast"
+    # In-context A/B (scripts/bench_unet_ab.py): the fused-GN Pallas kernel
+    # LOSES at the flagship scale (6.7 vs 5.36 ms/step) — XLA already fuses
+    # GN stats into the producer and normalize+SiLU into the consumer, so
+    # the kernel's materialization boundary adds traffic. Kept as an
+    # optimization surface behind this knob, like the SA kernel.
+    fused_gn: bool = False
+    # "f32": reference-exact f32 final conv; "bf16": bf16 operands with
+    # f32 accumulation (reference AMP behavior; measured A/B in
+    # scripts/bench_unet_ab10.py)
+    conv_out_compute: str = "f32"
+    # phase-conv decoder upsample (exact rewrite, +3.5% step rate on v5e;
+    # False = reference-direct nearest2x+conv, same params)
+    phase_upsample: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, timesteps, context=None, train=False):
         """x: [B, H, W, C_in]; timesteps: [B]; context: [B, N, D] slots."""
-        res_block = ResBlock
+        import functools
+        res_block = functools.partial(ResBlock, fused_gn=self.fused_gn)
         if self.use_checkpoint:
-            res_block = nn.remat(ResBlock, static_argnums=(3,))
+            res_block = functools.partial(
+                nn.remat(ResBlock, static_argnums=(3,)),
+                fused_gn=self.fused_gn)
 
         temb = timestep_embedding(timesteps, self.model_channels)
         temb = temb.astype(self.dtype)
@@ -272,6 +420,8 @@ class UNetModel(nn.Module):
                 depth=self.transformer_depth,
                 context_dim=self.context_dim,
                 attn_backend=self.attn_backend,
+                attn_softmax=self.attn_softmax,
+                fused_gn=self.fused_gn,
                 dtype=self.dtype,
                 name=name)
 
@@ -328,12 +478,20 @@ class UNetModel(nn.Module):
                                 h, temb, train)
                     else:
                         h = Upsample(ch, self.conv_resample,
+                                     phase=self.phase_upsample,
                                      dtype=self.dtype,
                                      name=f"up{level}_us")(h)
                     ds //= 2
 
-        h = GroupNorm32(dtype=self.dtype)(h)
-        h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), kernel_init=zero_init,
-                    dtype=jnp.float32, name="conv_out")(h)
+        h = GroupNorm32(act="silu", fused=self.fused_gn,
+                        dtype=self.dtype)(h)
+        if self.conv_out_compute == "bf16":
+            # bf16 operands + f32 MXU accumulation (the reference's AMP
+            # runs its final conv in fp16 the same way, train.py --fp16):
+            # with out_channels=3 the MXU pads N to a full tile, so f32
+            # operand rate here buys nothing but time
+            h = _ConvOutBf16Acc(self.out_channels, name="conv_out")(h)
+        else:
+            h = nn.Conv(self.out_channels, (3, 3), kernel_init=zero_init,
+                        dtype=jnp.float32, name="conv_out")(h)
         return h

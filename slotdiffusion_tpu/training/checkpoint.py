@@ -28,6 +28,23 @@ def load_train_state(path):
     return _restore_raw(path)
 
 
+def upgrade_legacy_params(tree):
+    """Migrate pre-`gru_bi` slot-attention checkpoints in place.
+
+    The packed GRU gained an input-bias term (full torch.nn.GRUCell
+    parameterization); zero bias is numerically identical to the old
+    layout, so older checkpoints are upgraded by injecting zeros wherever
+    a slot-attention GRU block lacks it.
+    """
+    if not isinstance(tree, dict):
+        return tree
+    if "gru_wi" in tree and "gru_bh" in tree and "gru_bi" not in tree:
+        tree = dict(tree)
+        tree["gru_bi"] = np.zeros_like(np.asarray(tree["gru_bh"]))
+        return tree
+    return {k: upgrade_legacy_params(v) for k, v in tree.items()}
+
+
 def load_model_params(model, path, params=None, use_ema=True):
     """-> variables {'params': ...} for `model.apply` from a Trainer ckpt.
 
@@ -36,6 +53,7 @@ def load_model_params(model, path, params=None, use_ema=True):
     (matching the reference's eval-with-EMA, ddpm.py:133-147).
     """
     raw = _restore_raw(path)
+    raw = upgrade_legacy_params(raw)
     p = raw["params"]
     ema = raw.get("ema", None)
     if use_ema and ema is not None and ema.get("shadow") is not None:
@@ -63,7 +81,7 @@ def load_pretrained_subtree(variables, ckp_path, dst_path, src_path=""):
     Returns new variables with the subtree replaced. Raises KeyError on
     structure mismatch.
     """
-    raw = _restore_raw(ckp_path)
+    raw = upgrade_legacy_params(_restore_raw(ckp_path))
     src = raw["params"] if "params" in raw else raw
     for k in [s for s in src_path.split("/") if s]:
         src = src[k]

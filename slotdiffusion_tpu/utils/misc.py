@@ -92,6 +92,9 @@ def save_video(frames, path, fps=8):
     """Save a [T, H, W, 3] uint8 or float [0,1] array as an mp4/gif.
 
     Replacement for `nerv.utils.save_video` (reference: test_recon.py:130).
+    Environments without an ffmpeg/pyav imageio backend fall back to GIF
+    (always writable via the bundled Pillow backend); the actual path
+    written is returned.
     """
     import imageio
 
@@ -99,7 +102,16 @@ def save_video(frames, path, fps=8):
     if frames.dtype != np.uint8:
         frames = (np.clip(frames, 0.0, 1.0) * 255.0).astype(np.uint8)
     mkdir_or_exist(os.path.dirname(os.path.abspath(path)))
-    imageio.mimsave(path, list(frames), fps=fps)
+    try:
+        imageio.mimsave(path, list(frames), fps=fps)
+        return path
+    except (ValueError, ImportError):
+        if path.lower().endswith(".gif"):
+            raise
+        gif_path = os.path.splitext(path)[0] + ".gif"
+        imageio.mimsave(gif_path, list(frames),
+                        duration=1000.0 / max(fps, 1), loop=0)
+        return gif_path
 
 
 def save_image(img, path):

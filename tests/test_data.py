@@ -17,6 +17,8 @@ from slotdiffusion_tpu.data.loader import DataLoader, Dataset, SampleError
 from slotdiffusion_tpu.data.transforms import (BaseTransforms,
                                                suppress_mask_idx)
 
+pytestmark = pytest.mark.fast
+
 
 class _ToyDataset(Dataset):
     def __init__(self, n=32, bad=()):

@@ -3,6 +3,8 @@ import pytest
 
 from slotdiffusion_tpu.ops import metrics as M
 
+pytestmark = pytest.mark.fast
+
 
 def test_ari_perfect_and_permuted():
     gt = np.random.RandomState(0).randint(0, 4, size=(3, 16, 16))

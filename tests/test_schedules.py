@@ -5,6 +5,8 @@ from slotdiffusion_tpu.models.schedules import (
     GaussianSchedule, make_beta_schedule, make_ddim_sampling_parameters,
     make_ddim_timesteps, make_gaussian_schedule)
 
+pytestmark = pytest.mark.fast
+
 
 def test_linear_schedule_golden():
     """Golden values from the reference formula: linspace(sqrt(start),
