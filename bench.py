@@ -48,6 +48,9 @@ def main():
         channel_mult=(1, 2, 3, 4),
         num_head_channels=32,
         context_dim=SLOT_DIM,
+        # reference AMP runs the final conv in fp16 (train.py --fp16), so
+        # bf16 operands + f32 accumulation is the apples-to-apples setting
+        conv_out_compute="bf16",
         dtype=jnp.bfloat16,
     )
 

@@ -1,0 +1,81 @@
+"""Full-UNet A/B, batch 13: split-skip decoder concat.
+
+`UNetModel(split_skip=True)` computes the decoder's concat ResBlocks
+directly on the (h, skip) pair: GroupNorm statistics from per-channel
+moments of both parts, consuming convs slice their kernels per part.
+Exact (CPU parity 2.7e-7 rel) and param-identical; the win is skipping
+the HBM round-trip of every up-path concat tensor.
+
+Usage: python scripts/bench_unet_ab13.py [--iters 50]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def time_unet(iters, tries=5, **unet_kwargs):
+    import jax
+    import jax.numpy as jnp
+
+    from slotdiffusion_tpu.models.unet import UNetModel
+
+    B, LATENT, SLOTS, SLOT_DIM = 32, (32, 32), 15, 192
+    unet = UNetModel(
+        in_channels=3, model_channels=128, out_channels=3,
+        num_res_blocks=2, attention_resolutions=(8, 4, 2), dropout=0.0,
+        channel_mult=(1, 2, 3, 4), num_head_channels=32,
+        context_dim=SLOT_DIM, dtype=jnp.bfloat16, **unet_kwargs)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (B, *LATENT, 3), jnp.float32)
+    t = jnp.full((B,), 500, jnp.int32)
+    ctx = jax.random.normal(rng, (B, SLOTS, SLOT_DIM), jnp.float32)
+    params = unet.init(jax.random.PRNGKey(1), x, t, ctx)["params"]
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        params)
+
+    @jax.jit
+    def chain(params, x, t, ctx, iters):
+        def body(i, x):
+            eps = unet.apply({"params": params}, x, t, ctx)
+            return eps.astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iters, body, x)[0, 0, 0, 0]
+
+    float(chain(params, x, t, ctx, 1))
+    float(chain(params, x, t, ctx, iters + 1))
+
+    def best(n):
+        ts = []
+        for _ in range(tries):
+            t0 = time.perf_counter()
+            float(chain(params, x, t, ctx, n))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return (best(iters + 1) - best(1)) / iters
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--iters", type=int, default=50)
+    args = parser.parse_args()
+
+    results = {}
+    results["baseline"] = time_unet(args.iters)
+    results["attn_auto"] = time_unet(args.iters, attn_backend="auto")
+
+    base = results["baseline"]
+    print(f"{'variant':<14} {'ms/step':>9} {'delta_us':>9} {'steps/s':>9}")
+    for k, v in results.items():
+        print(f"{k:<14} {v * 1e3:9.3f} {(base - v) * 1e6:9.1f} "
+              f"{1.0 / v:9.1f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -258,7 +258,9 @@ def viz_slotformer(trainer, np_batch, out, step, viz_dir, n=1):
     if not trainer.params.get("dec_dict", None):
         return
     slots = np.asarray(np_batch["slots"][:n])
-    history_len = model.history_len
+    # setup()-assigned fields are only visible inside init/apply; the
+    # config dict is the module attribute
+    history_len = model.rollout_dict["history_len"]
     rollout_len = slots.shape[1] - history_len
     is_ldm = trainer.params.model == "LDMSlotFormer"
 

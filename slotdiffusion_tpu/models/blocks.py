@@ -69,6 +69,8 @@ class GroupNorm32(nn.Module):
         from ..ops.fused_norm import (fused_gn_supported, fused_group_norm,
                                       group_norm_reference)
 
+        if isinstance(x, (tuple, list)):
+            return self._split_call(tuple(x))
         num_groups = min(self.num_groups, x.shape[-1])
         # find a divisor if channels not divisible by num_groups
         while x.shape[-1] % num_groups != 0:
@@ -80,6 +82,55 @@ class GroupNorm32(nn.Module):
                                     self.epsilon, self.act)
         return group_norm_reference(x, scale, bias, num_groups,
                                     self.epsilon, self.act)
+
+    def _split_call(self, parts):
+        """GroupNorm over the channel-concat of `parts` WITHOUT
+        materializing the concat: group statistics are assembled from
+        per-channel spatial moments of each part (numerically the same
+        mean/biased-var as the direct formulation, f32 accumulation), and
+        each part is normalized with its slice of the affine params.
+        Returns the tuple of normalized (+activated) parts. Params are
+        identical to the unsplit module, so checkpoints interchange.
+        Used by the UNet decoder's skip-concat ResBlocks
+        (unet.py:ResBlock `skip=`) to skip the concat HBM round-trip.
+        """
+        C = sum(p.shape[-1] for p in parts)
+        num_groups = min(self.num_groups, C)
+        while C % num_groups != 0:
+            num_groups -= 1
+        scale, bias = _GNAffine(C, name="GroupNorm_0")()
+        B = parts[0].shape[0]
+        n_spatial = 1
+        for d in parts[0].shape[1:-1]:
+            n_spatial *= d
+        red_axes = tuple(range(1, parts[0].ndim - 1))
+        s1 = jnp.concatenate(
+            [p.astype(jnp.float32).sum(axis=red_axes) for p in parts], -1)
+        s2 = jnp.concatenate(
+            [jnp.sum(jnp.square(p.astype(jnp.float32)), axis=red_axes)
+             for p in parts], -1)  # [B, C]
+        csize = C // num_groups
+        cnt = float(n_spatial * csize)
+        g1 = s1.reshape(B, num_groups, csize).sum(-1) / cnt
+        g2 = s2.reshape(B, num_groups, csize).sum(-1) / cnt
+        inv = jax.lax.rsqrt(g2 - jnp.square(g1) + self.epsilon)
+        mean_c = jnp.repeat(g1, csize, axis=-1)  # [B, C]
+        inv_c = jnp.repeat(inv, csize, axis=-1)
+        a = inv_c * scale.astype(jnp.float32)[None]
+        b = bias.astype(jnp.float32)[None] - mean_c * a
+        outs = []
+        off = 0
+        bshape = (B,) + (1,) * (parts[0].ndim - 2)
+        for p in parts:
+            cp = p.shape[-1]
+            ap = a[:, off:off + cp].reshape(*bshape, cp)
+            bp = b[:, off:off + cp].reshape(*bshape, cp)
+            y = p.astype(jnp.float32) * ap + bp
+            if self.act == "silu":
+                y = y * jax.nn.sigmoid(y)
+            outs.append(y.astype(p.dtype))
+            off += cp
+        return tuple(outs)
 
 
 def get_norm(norm: str, dtype=jnp.float32):

@@ -197,13 +197,55 @@ class SpatialTransformer(nn.Module):
         return x + h
 
 
+class _SplitInConv(nn.Module):
+    """Conv whose single [kh, kw, C_total, F] kernel is applied to a
+    TUPLE of channel-concat parts as per-part convs summed — exactly
+    conv(concat(parts)) without materializing the concat. Param layout
+    identical to nn.Conv."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts):
+        C = sum(p.shape[-1] for p in parts)
+        kh, kw = self.kernel_size
+        W = self.param("kernel", nn.initializers.lecun_normal(),
+                       (kh, kw, C, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+        out = None
+        off = 0
+        for p in parts:
+            cp = p.shape[-1]
+            wp = W[:, :, off:off + cp].astype(self.dtype)
+            dn = jax.lax.conv_dimension_numbers(
+                p.shape, wp.shape, ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(
+                p.astype(self.dtype), wp, (1, 1), pad,
+                dimension_numbers=dn)
+            out = y if out is None else out + y
+            off += cp
+        return out + b.astype(self.dtype)
+
+
 class ResBlock(nn.Module):
     """GN -> SiLU -> conv, +time-emb FiLM-add, GN -> SiLU -> zero-init conv,
     residual with 1x1 skip on channel change (reference unet.py:182-285).
     Optional fused up/downsampling applied to both paths.
 
     `fused_gn=True` runs each GN+SiLU pair as one single-HBM-pass Pallas
-    kernel (ops/fused_norm.py) on TPU; numerics match to f32 rounding."""
+    kernel (ops/fused_norm.py) on TPU; numerics match to f32 rounding.
+
+    When `skip` is given, the block computes on the channel-concat
+    (x ++ skip) EXACTLY but without materializing it: GroupNorm stats
+    come from per-channel moments of both parts (GroupNorm32 tuple call)
+    and the consuming convs slice their kernels per part (_SplitInConv).
+    Params are identical to the concat formulation, so the knob can flip
+    freely on existing checkpoints. Measured A/B: scripts/bench_unet_ab13.
+    """
 
     out_channels: int
     dropout: float = 0.0
@@ -213,27 +255,44 @@ class ResBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb, train=False):
-        h = GroupNorm32(act="silu", fused=self.fused_gn,
-                        dtype=self.dtype)(x)
-        if self.up:
-            h = _upsample2x(h)
-            x = _upsample2x(x)
-        elif self.down:
-            h = _avgpool2x(h)
-            x = _avgpool2x(x)
-        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype)(h)
-        emb_out = nn.Dense(self.out_channels, dtype=self.dtype)(
-            nn.silu(emb))
+    def __call__(self, x, emb, train=False, skip=None):
+        if skip is not None:
+            assert not (self.up or self.down)
+            hx, hs = GroupNorm32(act="silu", fused=self.fused_gn,
+                                 dtype=self.dtype,
+                                 name="GroupNorm32_0")((x, skip))
+            h = _SplitInConv(self.out_channels, (3, 3), dtype=self.dtype,
+                             name="Conv_0")((hx, hs))
+        else:
+            h = GroupNorm32(act="silu", fused=self.fused_gn,
+                            dtype=self.dtype, name="GroupNorm32_0")(x)
+            if self.up:
+                h = _upsample2x(h)
+                x = _upsample2x(x)
+            elif self.down:
+                h = _avgpool2x(h)
+                x = _avgpool2x(x)
+            h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype,
+                        name="Conv_0")(h)
+        emb_out = nn.Dense(self.out_channels, dtype=self.dtype,
+                           name="Dense_0")(nn.silu(emb))
         h = h + emb_out[:, None, None, :]
         h = GroupNorm32(act="silu", fused=self.fused_gn,
-                        dtype=self.dtype)(h)
+                        dtype=self.dtype, name="GroupNorm32_1")(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.Conv(self.out_channels, (3, 3), kernel_init=zero_init,
-                    dtype=self.dtype)(h)
-        if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(x)
+                    dtype=self.dtype, name="Conv_1")(h)
+        in_ch = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
+        if in_ch != self.out_channels:
+            if skip is not None:
+                x = _SplitInConv(self.out_channels, (1, 1),
+                                 dtype=self.dtype, name="Conv_2")((x, skip))
+            else:
+                x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                            name="Conv_2")(x)
+        elif skip is not None:
+            x = jnp.concatenate([x, skip], axis=-1)
         return x + h
 
 
@@ -394,6 +453,10 @@ class UNetModel(nn.Module):
     # phase-conv decoder upsample (exact rewrite, +3.5% step rate on v5e;
     # False = reference-direct nearest2x+conv, same params)
     phase_upsample: bool = True
+    # compute decoder concat ResBlocks directly on (h, skip) pairs —
+    # exact (CPU parity 2.7e-7 rel), same params; +92us/step on v5e
+    # (scripts/bench_unet_ab13.py: 203.7 -> 207.6 steps/s)
+    split_skip: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -459,15 +522,20 @@ class UNetModel(nn.Module):
         h = res_block(out_channels=ch, dropout=self.dropout,
                       dtype=self.dtype, name="mid_res2")(h, temb, train)
 
-        # decoder with skip concat
+        # decoder with skip concat (split_skip computes the concat
+        # blocks without materializing the concat — exact, same params)
         for level in reversed(range(len(self.channel_mult))):
             ch = self.channel_mult[level] * self.model_channels
             for i in range(self.num_res_blocks + 1):
                 skip = hs.pop()
-                h = jnp.concatenate([h, skip], axis=-1)
-                h = res_block(
+                blk = res_block(
                     out_channels=ch, dropout=self.dropout, dtype=self.dtype,
-                    name=f"up{level}_res{i}")(h, temb, train)
+                    name=f"up{level}_res{i}")
+                if self.split_skip:
+                    h = blk(h, temb, train, skip)
+                else:
+                    h = blk(jnp.concatenate([h, skip], axis=-1), temb,
+                            train)
                 if ds in self.attention_resolutions:
                     h = attn(ch, f"up{level}_attn{i}")(h, context)
                 if level > 0 and i == self.num_res_blocks:

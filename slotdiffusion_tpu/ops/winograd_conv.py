@@ -1,0 +1,219 @@
+"""Winograd F(2x2, 3x3) convolution Pallas kernel for TPU.
+
+The UNet's FLOP budget is dominated by 3x3 stride-1 SAME convs
+(ResBlock conv1/conv2, reference unet.py:182-285). Direct 3x3 conv does
+36 MACs per output pixel; Winograd F(2x2,3x3) does 16: the input is cut
+into 4x4 tiles (stride 2), transformed with the constant matrix
+B^T d B, multiplied channel-wise against the transformed weights
+G g G^T, and mapped back with A^T m A to a 2x2 output tile. All
+arithmetic-intensity stays on the MXU: the transformed-domain product is
+16 independent [tiles, C] x [C, F] matmuls.
+
+The kernel processes a block of S samples per grid step: loads the
+[S, H, W, C] block into VMEM once, zero-pads in VMEM (no HBM pad pass),
+builds the 16 transformed-domain tiles with VPU adds, runs the 16
+matmuls, inverse-transforms, and writes [S, H, W, F] — one HBM read +
+one write total, vs the direct conv's same traffic but 2.25x the MXU
+work.
+
+Numerics: transforms in f32, transformed-domain matmuls in bf16 with
+f32 accumulation — the same class as XLA's bf16 direct conv (Winograd
+F(2,3) grows rounding error by a small constant; parity tests pin
+rtol<=3e-2 against the f32 direct conv, matching bf16-direct's own
+distance). Training backward uses the direct XLA conv gradients via
+`jax.custom_vjp` (identical cost to the unfused path).
+
+Weight transform U = G g G^T is computed in XLA from the same [3,3,C,F]
+parameters (winograd_weights) — it is loop-invariant and hoisted out of
+sampling/training loops by XLA, so checkpoints are untouched.
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# B^T (4x4), G (4x3), A^T (2x4) for F(2x2, 3x3)
+_BT = np.array([[1, 0, -1, 0],
+                [0, 1, 1, 0],
+                [0, -1, 1, 0],
+                [0, 1, 0, -1]], np.float32)
+_G = np.array([[1, 0, 0],
+               [0.5, 0.5, 0.5],
+               [0.5, -0.5, 0.5],
+               [0, 0, 1]], np.float32)
+_AT = np.array([[1, 1, 1, 0],
+                [0, 1, -1, -1]], np.float32)
+
+# per-step VMEM working-set budget (bytes); the f32 row-transform temps
+# dominate: 4 * S*nt_h*nt_w*C * 4B, plus x block, U, and accumulators
+_VMEM_BUDGET = 9 * 1024 * 1024
+
+
+def winograd_weights(w):
+    """[3, 3, C, F] conv kernel -> transformed [16, C, F] (f32)."""
+    u = jnp.einsum("ui,vj,ijcf->uvcf", _G, _G, w.astype(jnp.float32))
+    return u.reshape(16, w.shape[2], w.shape[3])
+
+
+def _samples_per_step(B, H, W, C, F):
+    nt = (H // 2) * (W // 2)
+    for s in (16, 8, 4, 2, 1):
+        if B % s != 0:
+            continue
+        work = (4 * s * nt * C * 4          # g row-transform temps (f32)
+                + s * (H + 2) * (W + 2) * C * 2   # padded x (bf16)
+                + 4 * s * nt * F * 4        # output phase accumulators
+                + 16 * C * F * 2            # U
+                + 2 * s * H * W * (C + F))  # in/out blocks (bf16)
+        if work <= _VMEM_BUDGET:
+            return s
+    return 1
+
+
+def _wino_kernel(x_ref, u_ref, o_ref, *, nt_h, nt_w, acc_dtype):
+    S, H, W, C = x_ref.shape
+    F = o_ref.shape[-1]
+    x = x_ref[...]
+    # SAME zero padding inside VMEM (no HBM pad pass); Mosaic rejects
+    # strided vector slices, so taps are extracted by splitting each
+    # spatial dim into (half, 2) with a reshape and integer-indexing the
+    # parity — both probe-verified lowerings.
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    Hp, Wp = H + 2, W + 2
+    xq = xp.reshape(S, Hp // 2, 2, Wp, C)
+
+    # row tap r lives at parity r%2 with offset index (r - r%2) // 2
+    def row_tap(r):
+        off = (r - r % 2) // 2
+        return xq[:, off:off + nt_h, r % 2]  # [S, nt_h, Wp, C]
+
+    def col_tap(rows_v, s):
+        yq = rows_v.reshape(S, nt_h, Wp // 2, 2, C)
+        off = (s - s % 2) // 2
+        return yq[:, :, off:off + nt_w, s % 2]  # [S, nt_h, nt_w, C]
+
+    T = S * nt_h * nt_w
+    # output phase accumulators y[a][b]: [T, F]
+    y = [[jnp.zeros((T, F), jnp.float32) for _ in range(2)]
+         for _ in range(2)]
+    for u in range(4):
+        # row transform at full column resolution:
+        # gu = sum_r BT[u, r] * row_tap(r)  -> [S, nt_h, Wp, C]
+        acc = None
+        for r in range(4):
+            c = float(_BT[u, r])
+            if c == 0.0:
+                continue
+            term = row_tap(r).astype(jnp.float32)
+            term = term if c == 1.0 else term * c
+            acc = term if acc is None else acc + term
+        gu = acc
+        for v in range(4):
+            # column transform: V_uv = sum_s BT[v, s] * col_tap(gu, s)
+            acc = None
+            for s in range(4):
+                c = float(_BT[v, s])
+                if c == 0.0:
+                    continue
+                term = col_tap(gu, s)
+                term = term if c == 1.0 else term * c
+                acc = term if acc is None else acc + term
+            vuv = acc.reshape(T, C).astype(acc_dtype)
+            muv = jax.lax.dot_general(
+                vuv, u_ref[4 * u + v].astype(acc_dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [T, F]
+            # inverse transform: y_ab += AT[a, u] * AT[b, v] * M_uv
+            for a in range(2):
+                ca = float(_AT[a, u])
+                if ca == 0.0:
+                    continue
+                for b in range(2):
+                    cb = float(_AT[b, v])
+                    if cb == 0.0:
+                        continue
+                    coef = ca * cb
+                    y[a][b] = y[a][b] + (muv if coef == 1.0 else
+                                         muv * coef)
+    out_dtype = o_ref.dtype
+    # interleave output phases back to [S, H, W, F] with stack+reshape
+    yg = [[y[a][b].reshape(S, nt_h, nt_w, F) for b in range(2)]
+          for a in range(2)]
+    za = [jnp.stack([yg[a][0], yg[a][1]], axis=3).reshape(
+        S, nt_h, W, F) for a in range(2)]
+    full = jnp.stack(za, axis=2).reshape(S, H, W, F)
+    o_ref[...] = full.astype(out_dtype)
+
+
+def winograd_supported(shape, f):
+    """[B, H, W, C] input, F output channels."""
+    if jax.default_backend() != "tpu":
+        return False
+    if len(shape) != 4:
+        return False
+    B, H, W, C = shape
+    if H % 2 or W % 2 or H < 4 or W < 4:
+        return False
+    if C % 128 or f % 128:
+        return False
+    return True
+
+
+def _wino_call(x, u, F, interpret=False):
+    B, H, W, C = x.shape
+    S = _samples_per_step(B, H, W, C, F)
+    kernel = functools.partial(
+        _wino_kernel, nt_h=H // 2, nt_w=W // 2, acc_dtype=jnp.bfloat16)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // S,),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((S, H, W, C), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, C, F), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((S, H, W, F), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, F), x.dtype),
+    )(x, u)
+
+
+def _direct_conv(x, w):
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=dn)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def winograd_conv3x3(x, w, interpret=False):
+    """3x3 stride-1 SAME conv (no bias): x [B,H,W,C], w [3,3,C,F].
+
+    Winograd Pallas kernel when supported, direct XLA conv otherwise.
+    """
+    if not (interpret or winograd_supported(x.shape, w.shape[-1])):
+        return _direct_conv(x, w)
+    u = winograd_weights(w).astype(jnp.bfloat16)
+    return _wino_call(x, u, w.shape[-1], interpret)
+
+
+def _wc_fwd(x, w, interpret):
+    return winograd_conv3x3(x, w, interpret), (x, w)
+
+
+def _wc_bwd(interpret, res, gy):
+    x, w = res
+    _, vjp = jax.vjp(lambda x_, w_: _direct_conv(x_, w_), x, w)
+    gx, gw = vjp(gy.astype(x.dtype))
+    return gx, gw
+
+
+winograd_conv3x3.defvjp(_wc_fwd, _wc_bwd)

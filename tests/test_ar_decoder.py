@@ -5,6 +5,8 @@ import pytest
 
 from slotdiffusion_tpu.models.ar_decoder import STEVETransformerDecoder
 
+pytestmark = pytest.mark.fast
+
 V, D, S, L = 16, 32, 3, 15  # vocab, d_model, slots, max_len (tokens-1)
 
 

@@ -15,6 +15,8 @@ import pytest
 from slotdiffusion_tpu.models.schedules import make_beta_schedule
 from slotdiffusion_tpu.ops.dpm_solver import VPSchedule, dpm_solver_sample
 
+pytestmark = pytest.mark.fast
+
 
 @pytest.fixture(scope="module")
 def betas():

@@ -12,6 +12,8 @@ import pytest
 from slotdiffusion_tpu.models import build_model
 from slotdiffusion_tpu.utils import BaseParams
 
+pytestmark = pytest.mark.fast
+
 RES = (32, 32)
 SLOT_SIZE = 32
 

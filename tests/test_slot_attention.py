@@ -5,6 +5,8 @@ import pytest
 
 from slotdiffusion_tpu.models.slot_attention import SlotAttention
 
+pytestmark = pytest.mark.fast
+
 
 def _make(return_last_attn=False, num_iterations=2):
     return SlotAttention(
