@@ -22,7 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 VIDEO_MODELS = ("SAVi", "SAViDiffusion", "STEVE")
 
 
-def evaluate(params, args, model, variables, seq_len):
+def evaluate(params, args, model, variables, seq_len, clip_len):
+    """`clip_len` is the TRAINING clip length captured once in main() —
+    params.n_sample_frames is overridden per sweep value below, so reading
+    it here would make later iterations (e.g. `--seq_len 6 -1`) chunk at
+    the previous sweep value instead of the training length."""
     import jax
     import numpy as np
 
@@ -31,12 +35,8 @@ def evaluate(params, args, model, variables, seq_len):
     from slotdiffusion_tpu.methods.inference import chunked_video_apply
     from slotdiffusion_tpu.utils import AverageMeter
 
-    # training clip length, used as the static chunk size (image configs
-    # have no n_sample_frames and never chunk)
-    clip_len = params.get("n_sample_frames", 1)
     full_video = seq_len <= 0
-    if not full_video:
-        params.n_sample_frames = seq_len
+    params.n_sample_frames = clip_len if full_video else seq_len
 
     params.load_mask = True
     val_set = build_dataset(params, val_only=(args.split == "test"))
@@ -108,8 +108,10 @@ def main():
     model = build_model(params)
     variables = load_model_params(model, args.weight, params)
 
+    # capture the training clip length before any sweep override mutates it
+    clip_len = params.get("n_sample_frames", 1)
     for seq_len in args.seq_len:
-        evaluate(params, args, model, variables, seq_len)
+        evaluate(params, args, model, variables, seq_len, clip_len)
 
 
 if __name__ == "__main__":

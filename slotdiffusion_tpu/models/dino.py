@@ -38,7 +38,9 @@ class ViTBlock(nn.Module):
         x = x + h
         h = nn.LayerNorm(dtype=self.dtype)(x)
         h = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype)(h)
-        h = nn.gelu(h)
+        # exact (erf) gelu — DINO/HF ViT use torch's default, not the
+        # tanh approximation flax defaults to
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, dtype=self.dtype)(h)
         return x + h
 
@@ -79,6 +81,59 @@ class DINOEncoder(nn.Module):
         # strip CLS, back to a spatial map (reference dino.py:44-54)
         x = x[:, 1:].reshape(B, h, w, dim)
         return jax.lax.stop_gradient(x)
+
+
+def convert_hf_dino_npz(state_dict, out_path, num_heads=6, depth=12):
+    """HF `ViTModel` (facebook/dino-vits8/16, vitb8/16) state dict -> .npz
+    of this module's flattened param paths (the `load_dino_weights`
+    format).
+
+    Accepts a torch state_dict or a {name: np.ndarray} dict. Layout:
+    torch linear [out, in] -> flax kernel [in, out]; q/k/v reshaped to
+    flax MultiHeadDotProductAttention's [in, heads, head_dim]."""
+    sd = {}
+    for k, v in state_dict.items():
+        sd[k] = v.detach().cpu().numpy() if hasattr(v, "detach") \
+            else np.asarray(v)
+
+    dim = sd["embeddings.cls_token"].shape[-1]
+    hd = dim // num_heads
+    out = {
+        "cls_token": sd["embeddings.cls_token"],
+        "pos_embed": sd["embeddings.position_embeddings"],
+        "patch_embed/kernel": np.transpose(
+            sd["embeddings.patch_embeddings.projection.weight"],
+            (2, 3, 1, 0)),
+        "patch_embed/bias":
+            sd["embeddings.patch_embeddings.projection.bias"],
+        "LayerNorm_0/scale": sd["layernorm.weight"],
+        "LayerNorm_0/bias": sd["layernorm.bias"],
+    }
+    for i in range(depth):
+        p = f"encoder.layer.{i}"
+        b = f"block{i}"
+        out[f"{b}/LayerNorm_0/scale"] = sd[f"{p}.layernorm_before.weight"]
+        out[f"{b}/LayerNorm_0/bias"] = sd[f"{p}.layernorm_before.bias"]
+        out[f"{b}/LayerNorm_1/scale"] = sd[f"{p}.layernorm_after.weight"]
+        out[f"{b}/LayerNorm_1/bias"] = sd[f"{p}.layernorm_after.bias"]
+        for name in ("query", "key", "value"):
+            w = sd[f"{p}.attention.attention.{name}.weight"]
+            bias = sd[f"{p}.attention.attention.{name}.bias"]
+            out[f"{b}/attn/{name}/kernel"] = np.transpose(w).reshape(
+                dim, num_heads, hd)
+            out[f"{b}/attn/{name}/bias"] = bias.reshape(num_heads, hd)
+        wo = sd[f"{p}.attention.output.dense.weight"]
+        out[f"{b}/attn/out/kernel"] = np.transpose(wo).reshape(
+            num_heads, hd, dim)
+        out[f"{b}/attn/out/bias"] = sd[f"{p}.attention.output.dense.bias"]
+        out[f"{b}/Dense_0/kernel"] = np.transpose(
+            sd[f"{p}.intermediate.dense.weight"])
+        out[f"{b}/Dense_0/bias"] = sd[f"{p}.intermediate.dense.bias"]
+        out[f"{b}/Dense_1/kernel"] = np.transpose(
+            sd[f"{p}.output.dense.weight"])
+        out[f"{b}/Dense_1/bias"] = sd[f"{p}.output.dense.bias"]
+    np.savez(out_path, **out)
+    return out_path
 
 
 def load_dino_weights(params):

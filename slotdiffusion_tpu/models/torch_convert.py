@@ -1,0 +1,170 @@
+"""Torch -> flax parameter converters for reference checkpoints.
+
+The reference publishes torch checkpoints (docs/benchmark.md:13-16); these
+converters map their state dicts onto the rebuild's flax param trees so
+real pretrained weights (and the parity tests, tests/test_reference_parity
+.py) can drive the JAX models. Input is a plain `{name: np.ndarray}` dict —
+call `.numpy()` on torch tensors or pass `state_dict` through
+`numpy_state_dict`.
+
+Layout rules:
+    conv   [F, C, kh, kw]  -> [kh, kw, C, F]   (transpose 2,3,1,0)
+    linear [out, in]       -> [in, out]        (transpose)
+    norm   weight/bias     -> scale/bias       (unchanged vectors)
+"""
+
+from typing import Dict, Sequence
+
+import numpy as np
+
+
+def numpy_state_dict(state_dict) -> Dict[str, np.ndarray]:
+    """Detach a torch state_dict to {name: float64-preserving np.ndarray}."""
+    out = {}
+    for k, v in state_dict.items():
+        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") \
+            else np.asarray(v)
+    return out
+
+
+def _conv(sd, prefix):
+    w = sd[f"{prefix}.weight"]
+    return {"kernel": np.transpose(w, (2, 3, 1, 0)),
+            "bias": sd[f"{prefix}.bias"]}
+
+
+def _linear(sd, prefix, bias=True):
+    out = {"kernel": np.transpose(sd[f"{prefix}.weight"])}
+    if bias:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _norm(sd, prefix):
+    return {"GroupNorm_0": {"scale": sd[f"{prefix}.weight"],
+                            "bias": sd[f"{prefix}.bias"]}}
+
+
+def _layernorm(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _resblock(sd, p):
+    """Reference ResBlock (unet/unet.py:182-285) -> flax ResBlock subtree."""
+    out = {
+        "GroupNorm32_0": _norm(sd, f"{p}.in_layers.0"),
+        "Conv_0": _conv(sd, f"{p}.in_layers.2"),
+        "Dense_0": _linear(sd, f"{p}.emb_layers.1"),
+        "GroupNorm32_1": _norm(sd, f"{p}.out_layers.0"),
+        "Conv_1": _conv(sd, f"{p}.out_layers.3"),
+    }
+    if f"{p}.skip_connection.weight" in sd:
+        out["Conv_2"] = _conv(sd, f"{p}.skip_connection")
+    return out
+
+
+def _cross_attention(sd, p):
+    """Reference CrossAttention (unet/attention.py:157-206)."""
+    return {
+        "to_q": _linear(sd, f"{p}.to_q", bias=False),
+        "to_k": _linear(sd, f"{p}.to_k", bias=False),
+        "to_v": _linear(sd, f"{p}.to_v", bias=False),
+        "to_out": _linear(sd, f"{p}.to_out.0"),
+    }
+
+
+def _spatial_transformer(sd, p, depth=1):
+    """Reference SpatialTransformer (unet/attention.py:254-308)."""
+    out = {
+        "GroupNorm32_0": _norm(sd, f"{p}.norm"),
+        "Conv_0": _conv(sd, f"{p}.proj_in"),
+        "Conv_1": _conv(sd, f"{p}.proj_out"),
+    }
+    for d in range(depth):
+        bp = f"{p}.transformer_blocks.{d}"
+        out[f"block{d}"] = {
+            "LayerNorm_0": _layernorm(sd, f"{bp}.norm1"),
+            "LayerNorm_1": _layernorm(sd, f"{bp}.norm2"),
+            "LayerNorm_2": _layernorm(sd, f"{bp}.norm3"),
+            "attn1": _cross_attention(sd, f"{bp}.attn1"),
+            "attn2": _cross_attention(sd, f"{bp}.attn2"),
+            # ff.net = [GEGLU(proj), Dropout, Linear]
+            "GEGLU_0": {"Dense_0": _linear(sd, f"{bp}.ff.net.0.proj")},
+            "Dense_0": _linear(sd, f"{bp}.ff.net.2"),
+        }
+    return out
+
+
+def convert_torch_unet(
+    state_dict,
+    num_res_blocks: int,
+    channel_mult: Sequence[int],
+    attention_resolutions: Sequence[int],
+    resblock_updown: bool = False,
+    transformer_depth: int = 1,
+):
+    """Reference `UNetModel` state_dict -> flax `models.unet.UNetModel`
+    params. The walk replays the reference ctor's block-index bookkeeping
+    (unet/unet.py:407-538) to recover which sequential index holds which
+    (level, i) block."""
+    sd = numpy_state_dict(state_dict)
+    params = {
+        "Dense_0": _linear(sd, "time_embed.0"),
+        "Dense_1": _linear(sd, "time_embed.2"),
+        "conv_in": _conv(sd, "input_blocks.0.0"),
+        "GroupNorm32_0": _norm(sd, "out.0"),
+        "conv_out": _conv(sd, "out.2"),
+    }
+
+    idx = 1  # input_blocks.0 is conv_in
+    ds = 1
+    for level in range(len(channel_mult)):
+        for i in range(num_res_blocks):
+            p = f"input_blocks.{idx}.0"
+            params[f"down{level}_res{i}"] = _resblock(sd, p)
+            if ds in attention_resolutions:
+                params[f"down{level}_attn{i}"] = _spatial_transformer(
+                    sd, f"input_blocks.{idx}.1", transformer_depth)
+            idx += 1
+        if level != len(channel_mult) - 1:
+            p = f"input_blocks.{idx}.0"
+            if resblock_updown:
+                params[f"down{level}_ds"] = _resblock(sd, p)
+            else:
+                params[f"down{level}_ds"] = {"Conv_0": _conv(sd, f"{p}.op")}
+            idx += 1
+            ds *= 2
+
+    params["mid_res1"] = _resblock(sd, "middle_block.0")
+    params["mid_attn"] = _spatial_transformer(
+        sd, "middle_block.1", transformer_depth)
+    params["mid_res2"] = _resblock(sd, "middle_block.2")
+
+    j = 0
+    for level in reversed(range(len(channel_mult))):
+        for i in range(num_res_blocks + 1):
+            params[f"up{level}_res{i}"] = _resblock(
+                sd, f"output_blocks.{j}.0")
+            pos = 1
+            if ds in attention_resolutions:
+                params[f"up{level}_attn{i}"] = _spatial_transformer(
+                    sd, f"output_blocks.{j}.{pos}", transformer_depth)
+                pos += 1
+            if level > 0 and i == num_res_blocks:
+                p = f"output_blocks.{j}.{pos}"
+                if resblock_updown:
+                    params[f"up{level}_us"] = _resblock(sd, p)
+                else:
+                    params[f"up{level}_us"] = {
+                        "Conv_0": _conv(sd, f"{p}.conv")}
+                ds //= 2
+            j += 1
+
+    return params
+
+
+def convert_torch_quantizer(state_dict):
+    """Reference VectorQuantizer2 (vqvae/quantize.py:11-140) -> flax
+    quantizer params: the [n_e, e_dim] codebook."""
+    sd = numpy_state_dict(state_dict)
+    return {"embedding": sd["embedding.weight"]}

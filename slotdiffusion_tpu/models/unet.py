@@ -35,15 +35,20 @@ def _fast_softmax(logits, axis=-1):
     For any constant c, softmax(x) == exp(x-c)/sum(exp(x-c)) exactly; the
     max-subtraction exists only to bound the exp argument. Here logits are
     f32 products of LayerNorm'd bf16 activations scaled by D^-0.5, so
-    |logits| << 80 in practice; the clamp turns a pathological overflow
-    into a mild distortion instead of inf/NaN, and the denominator epsilon
-    turns an all-underflowed row into zero weights instead of NaN.
+    |logits| << 60 in practice and the result is bit-exact softmax. The
+    two-sided clamp makes the pathological tails safe rather than exact:
+    exp(60)*Nk stays finite in f32 for any realistic Nk (no inf/NaN), and
+    exp(-60) ~= 8.8e-27 is far above f32 underflow, so an all-negative row
+    still yields a proper distribution (never the all-zero row a one-sided
+    clamp allowed). Outside +-60 the distribution is mildly flattened —
+    only reachable with non-normalized inputs.
     Measured on v5e (scripts/bench_unet_ab3.py): the two removed
     reduce/broadcast passes over the f32 logits are worth ~0.4ms/step on
-    the flagship UNet (184 -> 199 steps/s).
+    the flagship UNet (184 -> 199 steps/s); the clip costs the same as the
+    previous one-sided minimum.
     """
-    e = jnp.exp(jnp.minimum(logits, 80.0))
-    return e / (jnp.sum(e, axis=axis, keepdims=True) + 1e-30)
+    e = jnp.exp(jnp.clip(logits, -60.0, 60.0))
+    return e / jnp.sum(e, axis=axis, keepdims=True)
 
 
 def _attention(q, k, v, num_heads, dtype, backend="einsum",
@@ -127,7 +132,9 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.out_dim * 2, dtype=self.dtype)(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate)
+        # exact (erf) gelu: torch F.gelu's default, used by the reference
+        # (attention.py:37-44); flax's default is the tanh approximation
+        return h * nn.gelu(gate, approximate=False)
 
 
 class TransformerBlock(nn.Module):
@@ -181,7 +188,10 @@ class SpatialTransformer(nn.Module):
     @nn.compact
     def __call__(self, x, context=None):
         B, H, W, C = x.shape
-        h = GroupNorm32(fused=self.fused_gn, dtype=self.dtype)(x)
+        # eps 1e-6: the reference's SpatialTransformer uses Normalize()
+        # (attention.py:76-78), not the eps-1e-5 GroupNorm32 of ResBlocks
+        h = GroupNorm32(epsilon=1e-6, fused=self.fused_gn,
+                        dtype=self.dtype)(x)
         h = nn.Conv(self.channels, (1, 1), dtype=self.dtype)(h)
         h = h.reshape(B, H * W, self.channels)
         for i in range(self.depth):
@@ -313,8 +323,11 @@ class Downsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.use_conv:
+            # explicit (1,1) padding: torch's stride-2 pad-1 conv centers
+            # windows on even rows (2i-1..2i+1); XLA "SAME" would pad
+            # (0,1) and center on odd rows — off-by-one vs the reference
             return nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                           dtype=self.dtype)(x)
+                           padding=((1, 1), (1, 1)), dtype=self.dtype)(x)
         return _avgpool2x(x)
 
 

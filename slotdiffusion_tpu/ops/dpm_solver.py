@@ -199,10 +199,13 @@ def dpm_solver_sample(
             t_outer = full[idx]
         for i, ord_i in enumerate(orders):
             s, t = float(t_outer[i]), float(t_outer[i + 1])
-            # inner logSNR spacing determines r1/r2 (dpm_solver.py:1204-1213)
+            # r1/r2 come from the lambdas of skip_type-spaced INNER steps
+            # (reference sample(), dpm_solver.py:1319-1325: inner grid uses
+            # the same skip_type as the outer grid — time_uniform in the
+            # reference's eval path, NOT logSNR)
             lam_s, lam_t = ns.lam(s), ns.lam(t)
             h = lam_t - lam_s
-            inner = ns.inverse_lambda(np.linspace(lam_s, lam_t, ord_i + 1))
+            inner = _time_steps(ns, skip_type, s, t, ord_i)
             m_s = x0_fn(x, s)
             if ord_i == 1:
                 x = update_1(x, m_s, s, t)
@@ -215,13 +218,15 @@ def dpm_solver_sample(
                 x = update_3(x, m_s, s, t, r1=r1, r2=r2)
     elif method == "multistep":
         # multistep order<=2: AB-style using previous model output
-        # (dpm_solver.py:934-1004), lower_order_final semantics
+        # (dpm_solver.py:934-1004). lower_order_final drops the last step
+        # to first order ONLY when steps < 10 (sample(), dpm_solver.py:1294)
         t_grid = _time_steps(ns, skip_type, t_T, t_0, steps)
         m_prev, t_prev = None, None
         for i in range(steps):
             s, t = float(t_grid[i]), float(t_grid[i + 1])
             m_s = x0_fn(x, s)
-            use_first = (m_prev is None) or (order == 1) or (i == steps - 1)
+            use_first = (m_prev is None) or (order == 1) or \
+                (i == steps - 1 and steps < 10)
             if use_first:
                 x = update_1(x, m_s, s, t)
             else:

@@ -94,8 +94,10 @@ def lpips_distance(x, y):
     fy = _vgg_features(y, convs)
     total = 0.0
     for f1, f2, lw in zip(fx, fy, lins):
-        n1 = f1 / jnp.sqrt(jnp.sum(f1 ** 2, -1, keepdims=True) + 1e-10)
-        n2 = f2 / jnp.sqrt(jnp.sum(f2 ** 2, -1, keepdims=True) + 1e-10)
+        # eps OUTSIDE the sqrt — the lpips package's normalize_tensor
+        # computes feat / (||feat|| + 1e-10)
+        n1 = f1 / (jnp.sqrt(jnp.sum(f1 ** 2, -1, keepdims=True)) + 1e-10)
+        n2 = f2 / (jnp.sqrt(jnp.sum(f2 ** 2, -1, keepdims=True)) + 1e-10)
         diff = (n1 - n2) ** 2
         total = total + jnp.mean(
             jnp.sum(diff * lw[None, None, None, :], -1), axis=(1, 2))
@@ -113,8 +115,12 @@ def convert_torch_lpips_npz(vgg_state_path, lpips_state_path, out_path):
     vgg = torch.load(vgg_state_path, map_location="cpu")
     lp = torch.load(lpips_state_path, map_location="cpu")
     out = {}
-    conv_keys = [k for k in sorted(vgg.keys())
+    # numeric sort on the features index — torchvision keys are
+    # features.0/.2/.5/.../.28 and LEXICOGRAPHIC sort would interleave
+    # "features.10" before "features.2", scrambling the conv order
+    conv_keys = [k for k in vgg.keys()
                  if k.startswith("features") and k.endswith(".weight")]
+    conv_keys.sort(key=lambda k: int(k.split(".")[1]))
     for i, k in enumerate(conv_keys):
         out[f"conv{i}_w"] = vgg[k].numpy()
         out[f"conv{i}_b"] = vgg[k.replace("weight", "bias")].numpy()

@@ -150,9 +150,17 @@ def _wino_kernel(x_ref, u_ref, o_ref, *, nt_h, nt_w, acc_dtype):
     o_ref[...] = full.astype(out_dtype)
 
 
-def winograd_supported(shape, f):
-    """[B, H, W, C] input, F output channels."""
+def winograd_supported(shape, f, dtype=jnp.bfloat16):
+    """[B, H, W, C] input, F output channels.
+
+    The kernel's transformed-domain matmuls accumulate in bf16 operands
+    (acc_dtype in `_wino_call`), so f32 inputs must take the direct-conv
+    path rather than silently losing precision; likewise a single sample
+    whose working set exceeds the VMEM budget (S=1 still too big) must
+    fall back instead of risking a Mosaic VMEM failure."""
     if jax.default_backend() != "tpu":
+        return False
+    if jnp.dtype(dtype) != jnp.dtype(jnp.bfloat16):
         return False
     if len(shape) != 4:
         return False
@@ -160,6 +168,11 @@ def winograd_supported(shape, f):
     if H % 2 or W % 2 or H < 4 or W < 4:
         return False
     if C % 128 or f % 128:
+        return False
+    nt = (H // 2) * (W // 2)
+    s1_work = (4 * nt * C * 4 + (H + 2) * (W + 2) * C * 2
+               + 4 * nt * f * 4 + 16 * C * f * 2 + 2 * H * W * (C + f))
+    if s1_work > _VMEM_BUDGET:
         return False
     return True
 
@@ -199,7 +212,7 @@ def winograd_conv3x3(x, w, interpret=False):
 
     Winograd Pallas kernel when supported, direct XLA conv otherwise.
     """
-    if not (interpret or winograd_supported(x.shape, w.shape[-1])):
+    if not (interpret or winograd_supported(x.shape, w.shape[-1], x.dtype)):
         return _direct_conv(x, w)
     u = winograd_weights(w).astype(jnp.bfloat16)
     return _wino_call(x, u, w.shape[-1], interpret)

@@ -24,8 +24,13 @@ def _restore_raw(path):
 
 
 def load_train_state(path):
-    """Restore a raw TrainState dict from an orbax checkpoint dir."""
-    return _restore_raw(path)
+    """Restore a raw TrainState dict from an orbax checkpoint dir.
+
+    Legacy upgrades apply here too — resuming training from a pre-`gru_bi`
+    checkpoint needs the zero bias injected into params AND into the
+    optimizer-state moment trees (zeros_like = correct fresh Adam init).
+    """
+    return upgrade_legacy_params(_restore_raw(path))
 
 
 def upgrade_legacy_params(tree):
@@ -34,8 +39,11 @@ def upgrade_legacy_params(tree):
     The packed GRU gained an input-bias term (full torch.nn.GRUCell
     parameterization); zero bias is numerically identical to the old
     layout, so older checkpoints are upgraded by injecting zeros wherever
-    a slot-attention GRU block lacks it.
+    a slot-attention GRU block lacks it. Recurses through lists/tuples as
+    well so optimizer-state trees (optax chain tuples) are covered.
     """
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(upgrade_legacy_params(v) for v in tree)
     if not isinstance(tree, dict):
         return tree
     if "gru_wi" in tree and "gru_bh" in tree and "gru_bi" not in tree:

@@ -143,13 +143,19 @@ class Trainer:
         self.max_epochs = params.max_epochs
         self.steps_per_epoch = len(datamodule.train_loader) \
             if datamodule.train_loader is not None else 0
-        self.total_steps = self.max_epochs * self.steps_per_epoch
         self.max_steps = params.get("max_steps", -1)  # smoke-test cap
         self.print_iter = params.get("print_iter", 50)
         self.save_interval = params.get("save_interval", 1.0)
         self.eval_interval = params.get("eval_interval", 1)
         self.clip_grad = params.get("clip_grad", -1)
-        self.grad_accum_steps = params.get("grad_accum_steps", 1)
+        self.grad_accum_steps = max(int(params.get("grad_accum_steps", 1)), 1)
+        # The LR schedule and EMA advance once per OPTIMIZER step, not per
+        # micro-step: optax.MultiSteps only ticks the inner optimizer count
+        # every `grad_accum_steps` batches, matching the reference where the
+        # scheduler/EMA step after each real optimizer.step()
+        # (img_based/method.py:77-85, ddpm/ema.py:29-43).
+        self.total_steps = (self.max_epochs * self.steps_per_epoch
+                            ) // self.grad_accum_steps
 
         if params.get("use_wandb", False):
             self.logger = WandbLogger(
@@ -261,8 +267,20 @@ class Trainer:
             updates, new_opt_state = self.tx.update(
                 grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
-            new_ema = state.ema.update(new_params) \
-                if state.ema is not None else None
+            if state.ema is None:
+                new_ema = None
+            elif self.grad_accum_steps > 1:
+                # params only change on the k-th micro-step (MultiSteps
+                # emits zero updates otherwise); updating the shadow every
+                # micro-step would relax it toward frozen params and inflate
+                # the (1+n)/(10+n) warmup vs LitEma's per-optimizer-step
+                # semantics (ddpm/ema.py:29-43)
+                is_update = (state.step + 1) % self.grad_accum_steps == 0
+                new_ema = jax.lax.cond(
+                    is_update, lambda: state.ema.update(new_params),
+                    lambda: state.ema)
+            else:
+                new_ema = state.ema.update(new_params)
             metrics = {f"train/{k}": v for k, v in losses.items()}
             metrics["train/total_loss"] = total
             metrics["train/grad_norm"] = optax.global_norm(grads)
@@ -274,7 +292,7 @@ class Trainer:
             )
             return new_state, metrics
 
-        def eval_step(state: TrainState, batch):
+        def eval_step(state: TrainState, batch, batch_idx):
             p = state.params
             if state.ema is not None:
                 prefix = self.ema_filter_prefix
@@ -285,8 +303,12 @@ class Trainer:
                         p, state.ema,
                         lambda path: path.startswith(prefix))
             sched = self._sched_dict(state.step)
+            # fold in the batch index so each val batch draws fresh
+            # diffusion timesteps/noise (a fixed step-only fold made every
+            # batch's randomness identical — a correlated loss estimator
+            # unlike the reference's fresh per-batch draws)
             rngs = self._make_rngs(jax.random.PRNGKey(self.seed + 1),
-                                   state.step)
+                                   state.step * 131071 + batch_idx)
             out, losses = model.apply(
                 {"params": p}, batch, sched=sched, train=False,
                 rngs=rngs, method=model.compute_losses)
@@ -307,12 +329,14 @@ class Trainer:
             donate_argnums=(0,),
         )
         self._eval_step = jax.jit(
-            eval_step, in_shardings=(rep, data), out_shardings=(rep, rep))
+            eval_step, in_shardings=(rep, data, rep),
+            out_shardings=(rep, rep))
         # ragged final val batches (drop_last=False) can't be laid out over
         # the data axis; they run through this replicated-input twin instead
         # (one extra compile at the fixed remainder shape, exact averages)
         self._eval_step_rep = jax.jit(
-            eval_step, in_shardings=(rep, rep), out_shardings=(rep, rep))
+            eval_step, in_shardings=(rep, rep, rep),
+            out_shardings=(rep, rep))
 
     # ------------------------------------------------------------------
     # checkpointing (orbax)
@@ -382,7 +406,9 @@ class Trainer:
                 if step % self.print_iter == 0:
                     metrics = jax.device_get(metrics)
                     metrics = {k: float(v) for k, v in metrics.items()}
-                    metrics["lr"] = float(self.lr_schedule(step))
+                    # schedule is indexed in optimizer steps (see __init__)
+                    metrics["lr"] = float(self.lr_schedule(
+                        step // self.grad_accum_steps))
                     metrics["epoch"] = epoch
                     dt = time.time() - t0
                     metrics["steps_per_sec"] = self.print_iter / max(dt, 1e-9)
@@ -414,18 +440,22 @@ class Trainer:
                 break
             np_batch = batch
             bs_i = next(iter(batch.values())).shape[0]
+            idx = jnp.asarray(i, jnp.int32)
             if bs_i % n_data == 0:
                 batch = shard_batch(batch, self.mesh)
-                out, losses = self._eval_step(self.state, batch)
+                out, losses = self._eval_step(self.state, batch, idx)
             elif jax.process_count() == 1:
                 # ragged remainder: replicate instead of sharding
                 batch = jax.device_put(batch,
                                        replicated_sharding(self.mesh))
-                out, losses = self._eval_step_rep(self.state, batch)
+                out, losses = self._eval_step_rep(self.state, batch, idx)
             else:
                 # multi-host: a ragged global batch cannot be assembled
                 # from per-process strided shards; skip it (weighted
                 # averages over full batches remain exact)
+                if jax.process_index() == 0:
+                    print(f"[val] skipped ragged batch {i} "
+                          f"({bs_i} samples) on multi-host eval")
                 continue
             losses = {k: float(v) for k, v in jax.device_get(losses).items()}
             out_np = None

@@ -109,8 +109,11 @@ def save_video(frames, path, fps=8):
         if path.lower().endswith(".gif"):
             raise
         gif_path = os.path.splitext(path)[0] + ".gif"
-        imageio.mimsave(gif_path, list(frames),
-                        duration=1000.0 / max(fps, 1), loop=0)
+        # imageio.v3 pins duration to milliseconds; the legacy v2 Pillow
+        # plugin reads it as seconds, which would make 125s-per-frame GIFs
+        import imageio.v3 as iio
+        iio.imwrite(gif_path, frames, extension=".gif",
+                    duration=1000.0 / max(fps, 1), loop=0)
         return gif_path
 
 

@@ -1,0 +1,77 @@
+"""File-level importer for the reference's torch modules (parity tests).
+
+The reference (/root/reference, torch) is the behavioral contract; these
+tests import its actual modules and assert numeric agreement with the JAX
+rebuild. Only torch-importable leaf modules are loaded; the few external
+deps the reference assumes (nerv, lpips, torchvision, pycocotools) are
+stubbed with inert placeholders — the code paths under test never call
+them.
+
+Registered package: `refmodels` -> /root/reference/slotdiffusion/
+video_based/models, imported WITHOUT executing models/__init__.py (which
+pulls the full nerv training stack). Submodules like
+`refmodels.ddpm.utils`, `refmodels.vqvae.quantize`, `refmodels.unet.unet`
+import normally with their relative imports intact.
+"""
+
+import importlib
+import importlib.machinery
+import importlib.util
+import sys
+import types
+
+REF_MODELS = "/root/reference/slotdiffusion/video_based/models"
+
+
+def _stub_module(name, **attrs):
+    if name in sys.modules:
+        return sys.modules[name]
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def _install_stubs():
+    import torch
+    from torch import nn
+
+    tv = _stub_module("torchvision")
+    tv.utils = _stub_module(
+        "torchvision.utils", make_grid=lambda *a, **k: None)
+    tv.ops = _stub_module("torchvision.ops",
+                          masks_to_boxes=lambda *a, **k: None)
+
+    nerv = _stub_module("nerv")
+    nerv.training = _stub_module("nerv.training", BaseModel=nn.Module)
+    nerv.utils = _stub_module("nerv.utils")
+
+    class _LPIPSStub(nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+        def forward(self, x, y):
+            return torch.zeros(x.shape[0])
+
+    _stub_module("lpips", LPIPS=_LPIPSStub)
+
+
+def load_ref_package():
+    """Return the `refmodels` namespace package over the reference models
+    dir; submodules are imported lazily via importlib."""
+    if "refmodels" in sys.modules:
+        return sys.modules["refmodels"]
+    _install_stubs()
+    spec = importlib.machinery.ModuleSpec(
+        "refmodels", None, origin=REF_MODELS, is_package=True)
+    spec.submodule_search_locations = [REF_MODELS]
+    pkg = importlib.util.module_from_spec(spec)
+    sys.modules["refmodels"] = pkg
+    return pkg
+
+
+def ref_import(submodule):
+    """Import e.g. 'ddpm.utils' under the refmodels package."""
+    load_ref_package()
+    return importlib.import_module(f"refmodels.{submodule}")

