@@ -15,6 +15,7 @@
 #include <cstdio>
 
 #include <jpeglib.h>
+#include <png.h>
 
 #include <csetjmp>
 #include <cstdint>
@@ -216,6 +217,97 @@ int fastio_decode_jpeg_resize_nearest_u8(const uint8_t* buf, long len,
           px[(static_cast<size_t>(y) * w + x) * 3];  // R channel = id
     }
   }
+  return 0;
+}
+
+// ---------------------------------------------------------------------
+// PNG (libpng16 simplified API)
+// ---------------------------------------------------------------------
+
+// Decode PNG bytes as 8-bit GRAY ids (palette/RGB collapse to luminance;
+// segmentation masks store the id in a single channel), nearest-resize to
+// (oh, ow), uint8 out. Returns 0 on success.
+int fastio_decode_png_resize_nearest_u8(const uint8_t* buf, long len,
+                                        uint8_t* out, int oh, int ow) {
+  png_image image;
+  std::memset(&image, 0, sizeof(image));
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&image, buf,
+                                        static_cast<size_t>(len))) {
+    return 1;
+  }
+  // only native-grayscale sources: a COLOR or COLORMAP file would have
+  // its ids luminance-mixed / palette-mapped — the caller must fall back
+  // to PIL for those layouts
+  if (image.format & (PNG_FORMAT_FLAG_COLOR | PNG_FORMAT_FLAG_COLORMAP)) {
+    png_image_free(&image);
+    return 3;
+  }
+  image.format = PNG_FORMAT_GRAY;
+  const int h = static_cast<int>(image.height);
+  const int w = static_cast<int>(image.width);
+  std::vector<uint8_t> px(PNG_IMAGE_SIZE(image));
+  if (!png_image_finish_read(&image, nullptr, px.data(), 0, nullptr)) {
+    png_image_free(&image);
+    return 1;
+  }
+  const float sy = static_cast<float>(h) / oh;
+  const float sx = static_cast<float>(w) / ow;
+  for (int oy = 0; oy < oh; ++oy) {
+    int y = static_cast<int>((oy + 0.5f) * sy);
+    if (y >= h) y = h - 1;
+    for (int ox = 0; ox < ow; ++ox) {
+      int x = static_cast<int>((ox + 0.5f) * sx);
+      if (x >= w) x = w - 1;
+      out[static_cast<size_t>(oy) * ow + ox] =
+          px[static_cast<size_t>(y) * w + x];
+    }
+  }
+  return 0;
+}
+
+// Decode PNG bytes as RGB8, write float32 HWC pixel*scale + shift into
+// `out` (size h*w*3) WITHOUT resizing; h/w must match fastio_png_dims.
+// (CLEVRTex-style PNG images crop/resize on the caller side today; the
+// fused resize can be added when a dataset needs it.) Returns 0 on
+// success.
+int fastio_decode_png_norm(const uint8_t* buf, long len, float* out, int oh,
+                           int ow, float scale, float shift) {
+  png_image image;
+  std::memset(&image, 0, sizeof(image));
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&image, buf,
+                                        static_cast<size_t>(len))) {
+    return 1;
+  }
+  image.format = PNG_FORMAT_RGB;
+  if (static_cast<int>(image.height) != oh ||
+      static_cast<int>(image.width) != ow) {
+    png_image_free(&image);
+    return 2;
+  }
+  std::vector<uint8_t> px(PNG_IMAGE_SIZE(image));
+  if (!png_image_finish_read(&image, nullptr, px.data(), 0, nullptr)) {
+    png_image_free(&image);
+    return 1;
+  }
+  fastio_u8_to_f32(px.data(), out, static_cast<long>(oh) * ow * 3, scale,
+                   shift);
+  return 0;
+}
+
+// PNG dimensions without decode. Returns 0 on success.
+int fastio_png_dims(const uint8_t* buf, long len, int* h, int* w) {
+  png_image image;
+  std::memset(&image, 0, sizeof(image));
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&image, buf,
+                                        static_cast<size_t>(len))) {
+    return 1;
+  }
+  *h = static_cast<int>(image.height);
+  *w = static_cast<int>(image.width);
+  png_image_free(&image);
   return 0;
 }
 

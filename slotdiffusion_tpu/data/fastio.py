@@ -50,6 +50,19 @@ def _load():
             lib.fastio_u8_to_f32.argtypes = [
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
                 ctypes.c_long, ctypes.c_float, ctypes.c_float]
+            lib.fastio_decode_png_resize_nearest_u8.restype = ctypes.c_int
+            lib.fastio_decode_png_resize_nearest_u8.argtypes = [
+                ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p,
+                ctypes.c_int, ctypes.c_int]
+            lib.fastio_decode_png_norm.restype = ctypes.c_int
+            lib.fastio_decode_png_norm.argtypes = [
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.c_float, ctypes.c_float]
+            lib.fastio_png_dims.restype = ctypes.c_int
+            lib.fastio_png_dims.argtypes = [
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
             _lib = lib
         except (OSError, subprocess.SubprocessError):
             _lib = None
@@ -79,6 +92,57 @@ def decode_jpeg_norm(path, res, out=None):
     rc = lib.fastio_decode_jpeg_resize_norm(
         buf, len(buf), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         h, w, 1.0 / 127.5, -1.0)
+    if rc != 0:
+        return None
+    return out
+
+
+def decode_png_mask(path, res, out=None):
+    """Segmentation-mask PNG -> uint8 [h, w] id map, nearest-resized.
+    Covers the mask layouts the datasets read with PIL today (MOVi/
+    CLEVRTex store per-pixel instance ids in gray/palette PNGs).
+    Returns None on failure (caller falls back to PIL)."""
+    lib = _load()
+    if lib is None:
+        return None
+    try:
+        with open(path, "rb") as f:
+            buf = f.read()
+    except OSError:
+        return None
+    h, w = res
+    if out is None:
+        out = np.empty((h, w), np.uint8)
+    assert out.dtype == np.uint8 and out.flags.c_contiguous
+    rc = lib.fastio_decode_png_resize_nearest_u8(
+        buf, len(buf), out.ctypes.data_as(ctypes.c_char_p), h, w)
+    if rc != 0:
+        return None
+    return out
+
+
+def decode_png_norm(path, out=None, scale=1.0 / 127.5, shift=-1.0):
+    """RGB PNG -> float32 [h, w, 3] at native size, normalized in one
+    pass. Returns None on failure."""
+    lib = _load()
+    if lib is None:
+        return None
+    try:
+        with open(path, "rb") as f:
+            buf = f.read()
+    except OSError:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.fastio_png_dims(buf, len(buf), ctypes.byref(h),
+                           ctypes.byref(w)) != 0:
+        return None
+    if out is None:
+        out = np.empty((h.value, w.value, 3), np.float32)
+    assert out.dtype == np.float32 and out.flags.c_contiguous
+    rc = lib.fastio_decode_png_norm(
+        buf, len(buf), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        h.value, w.value, scale, shift)
     if rc != 0:
         return None
     return out

@@ -143,10 +143,18 @@ class MOViDataset(Dataset):
                 raise SampleError(str(e))
             if self.load_mask:
                 try:
-                    m = self._read_mask(folder, i)
+                    m = None
+                    if self.layout == "movi":
+                        # fused native PNG decode + nearest resize; None
+                        # for RGB-coded/palette masks (PIL path below)
+                        m = self.transforms.load_mask(
+                            self._mask_path(folder, i))
+                    if m is None:
+                        m = self.transforms.process_mask(
+                            self._read_mask(folder, i))
                 except (FileNotFoundError, OSError) as e:
                     raise SampleError(str(e))
-                masks.append(self.transforms.process_mask(m))
+                masks.append(m)
         img = np.stack(frames).astype(np.float32)
         if self.load_mask:
             mask = suppress_mask_idx(np.stack(masks))

@@ -56,5 +56,19 @@ class BaseTransforms:
         m = m.resize(self.resolution[::-1], Image.NEAREST)
         return np.asarray(m, np.int32)
 
+    def load_mask(self, path):
+        """Read + NEAREST-resize one id-mask PNG to int32 [H, W].
+
+        Native-grayscale PNGs (MOVi's `{frame}_mask.png` layout) go
+        through the fused native decode+resize (native/fastio.cpp);
+        RGB-coded or palette masks return None so the caller can apply
+        its own id-flattening on the PIL decode."""
+        if path.lower().endswith(".png"):
+            from .fastio import decode_png_mask
+            out = decode_png_mask(path, self.resolution)
+            if out is not None:
+                return out.astype(np.int32)
+        return None
+
     def denormalize_image(self, img):
         return np.clip(img * self.norm_std + self.norm_mean, 0.0, 1.0)

@@ -38,9 +38,11 @@ class ViTBlock(nn.Module):
         x = x + h
         h = nn.LayerNorm(dtype=self.dtype)(x)
         h = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype)(h)
-        # exact (erf) gelu — DINO/HF ViT use torch's default, not the
-        # tanh approximation flax defaults to
-        h = nn.gelu(h, approximate=False)
+        # exact erf gelu under f32 (torch/HF ViT default); tanh approx
+        # under bf16 where its error is far below bf16 quantization and
+        # erf lowers to a slow VPU polynomial (see unet.GEGLU)
+        exact = jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)
+        h = nn.gelu(h, approximate=not exact)
         h = nn.Dense(self.dim, dtype=self.dtype)(h)
         return x + h
 

@@ -42,7 +42,7 @@ def _fast_softmax(logits, axis=-1):
     still yields a proper distribution (never the all-zero row a one-sided
     clamp allowed). Outside +-60 the distribution is mildly flattened —
     only reachable with non-normalized inputs.
-    Measured on v5e (scripts/bench_unet_ab3.py): the two removed
+    Measured on v5e (scripts/bench_unet_variants.py): the two removed
     reduce/broadcast passes over the f32 logits are worth ~0.4ms/step on
     the flagship UNet (184 -> 199 steps/s); the clip costs the same as the
     previous one-sided minimum.
@@ -63,7 +63,7 @@ def _attention(q, k, v, num_heads, dtype, backend="einsum",
     - "auto": einsum for long token rows, dpa below 256 tokens —
       per-resolution A/B on TPU v5e (scripts/bench_attention.py) measured
       einsum winning at N=256 but dpa winning at N=64/16; in full-model
-      context the difference vanished (scripts/bench_unet_ab.py), so
+      context the difference vanished (scripts/bench_unet_variants.py), so
       "einsum" stays the default.
     Einsum logits/softmax stay f32 end-to-end — matching the reference's
     fp32 QKVAttention (unet.py:334) — and only the softmax weights are
@@ -132,9 +132,14 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.out_dim * 2, dtype=self.dtype)(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        # exact (erf) gelu: torch F.gelu's default, used by the reference
-        # (attention.py:37-44); flax's default is the tanh approximation
-        return h * nn.gelu(gate, approximate=False)
+        # torch F.gelu (reference attention.py:37-44) is the exact erf
+        # form; under f32 we match it bit-for-bit. Under bf16 compute the
+        # tanh approximation is used instead: its error (<3e-4 absolute)
+        # is ~25x below bf16 quantization, while erf lowers to a slow
+        # polynomial on the TPU VPU (~0.8 ms/step on the flagship UNet —
+        # measured 207.4 vs 177.4 steps/s, round-3 bisect).
+        exact = jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)
+        return h * nn.gelu(gate, approximate=not exact)
 
 
 class TransformerBlock(nn.Module):
@@ -254,7 +259,7 @@ class ResBlock(nn.Module):
     come from per-channel moments of both parts (GroupNorm32 tuple call)
     and the consuming convs slice their kernels per part (_SplitInConv).
     Params are identical to the concat formulation, so the knob can flip
-    freely on existing checkpoints. Measured A/B: scripts/bench_unet_ab13.
+    freely on existing checkpoints. Measured A/B: scripts/bench_unet_variants.
     """
 
     out_channels: int
@@ -339,7 +344,7 @@ class _PhaseUpConv(nn.Module):
     fixed 2x2 coarse neighborhood whose taps are sums of adjacent 3x3
     weights (row taps for phase a=0: [W0, W1+W2]; a=1: [W0+W1, W2];
     same per column), so the rewrite is EXACT (verified to 1e-6 under
-    f32 matmul precision, scripts/bench_unet_ab9.py) while doing 16
+    f32 matmul precision, scripts/bench_unet_variants.py) while doing 16
     MACs/output instead of 36 and never materializing the 4x-upsampled
     tensor. Params are identical to the nn.Conv it replaces
     (kernel [3,3,Cin,Cout] + bias [Cout]) so checkpoints interchange.
@@ -453,7 +458,7 @@ class UNetModel(nn.Module):
     context_dim: Optional[int] = None
     attn_backend: str = "einsum"
     attn_softmax: str = "fast"
-    # In-context A/B (scripts/bench_unet_ab.py): the fused-GN Pallas kernel
+    # In-context A/B (scripts/bench_unet_variants.py): the fused-GN Pallas kernel
     # LOSES at the flagship scale (6.7 vs 5.36 ms/step) — XLA already fuses
     # GN stats into the producer and normalize+SiLU into the consumer, so
     # the kernel's materialization boundary adds traffic. Kept as an
@@ -461,14 +466,14 @@ class UNetModel(nn.Module):
     fused_gn: bool = False
     # "f32": reference-exact f32 final conv; "bf16": bf16 operands with
     # f32 accumulation (reference AMP behavior; measured A/B in
-    # scripts/bench_unet_ab10.py)
+    # scripts/bench_unet_variants.py)
     conv_out_compute: str = "f32"
     # phase-conv decoder upsample (exact rewrite, +3.5% step rate on v5e;
     # False = reference-direct nearest2x+conv, same params)
     phase_upsample: bool = True
     # compute decoder concat ResBlocks directly on (h, skip) pairs —
     # exact (CPU parity 2.7e-7 rel), same params; +92us/step on v5e
-    # (scripts/bench_unet_ab13.py: 203.7 -> 207.6 steps/s)
+    # (scripts/bench_unet_variants.py concat_decoder A/B: 203.7 -> 207.6 steps/s)
     split_skip: bool = True
     dtype: Dtype = jnp.float32
 

@@ -5,7 +5,7 @@ The UNet's attention operates on 16-256 tokens with head_dim 32
 num_head_channels=32). At these sizes the XLA lowering materializes the
 f32 logits, the softmax intermediates and the per-head transposes in HBM
 — measured at ~1.9ms of a 5.0ms denoise step (scripts/
-bench_unet_breakdown.py, bench_unet_ab3.py) against a ~0.7ms arithmetic
+bench_unet_breakdown.py, bench_unet_variants.py) against a ~0.7ms arithmetic
 floor. This kernel keeps one batch-item's whole attention resident in
 VMEM: one read of q/k/v, per-head matmul -> fast softmax -> value matmul
 entirely on-chip, one write of the output. No transposes ever touch HBM —

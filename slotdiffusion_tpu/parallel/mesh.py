@@ -56,6 +56,42 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
+    """Double-buffering: yield device-sharded batches while a background
+    thread stages the next `size` batches (host collate + async H2D).
+
+    The torch reference gets this overlap from DataLoader's
+    pin_memory/worker machinery; here a single thread calling
+    `shard_batch` ahead of the consumer keeps the host input pipeline and
+    the device step concurrent — `jax.device_put` is asynchronous, so by
+    the time the consumer's jitted step needs batch i+1 its transfer has
+    already been issued."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(size, 1))
+    _END = object()
+
+    def stage():
+        try:
+            for batch in iterator:
+                q.put(shard_batch(batch, mesh))
+        except BaseException as e:  # surface loader errors to the consumer
+            q.put(e)
+            return
+        q.put(_END)
+
+    t = threading.Thread(target=stage, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def shard_batch(batch, mesh: Mesh):
     """Device-put a host batch dict with the leading dim sharded over `data`.
 

@@ -38,8 +38,8 @@ import optax
 from flax import struct
 from flax.core import FrozenDict
 
-from ..parallel.mesh import (batch_sharding, make_mesh, replicated_sharding,
-                             shard_batch)
+from ..parallel.mesh import (batch_sharding, make_mesh, prefetch_to_device,
+                             replicated_sharding, shard_batch)
 from ..utils.misc import AverageMeter, mkdir_or_exist
 from .ema import ExponentialMovingAverage, swap_ema_params
 from .optim import build_optimizer
@@ -389,10 +389,11 @@ class Trainer:
         t0 = time.time()
         for epoch in range(start_epoch, self.max_epochs):
             loader.set_epoch(epoch)
-            for batch in loader:
+            # double-buffered device feed: host collate + H2D of batch i+1
+            # overlap the device step on batch i (prefetch_to_device)
+            for batch in prefetch_to_device(iter(loader), self.mesh):
                 if profile_dir and step == profile_steps[0]:
                     jax.profiler.start_trace(profile_dir)
-                batch = shard_batch(batch, self.mesh)
                 self.state, metrics = self._train_step(self.state, batch)
                 step += 1
                 if profile_dir and step == profile_steps[1]:

@@ -27,6 +27,10 @@ def _stub_module(name, **attrs):
     if name in sys.modules:
         return sys.modules[name]
     mod = types.ModuleType(name)
+    # a real ModuleSpec: libraries probing availability with
+    # importlib.util.find_spec (e.g. transformers) raise ValueError on a
+    # module whose __spec__ is None
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod

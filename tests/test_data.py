@@ -120,6 +120,53 @@ def test_fastio_decode_matches_pil(tmp_path):
     assert np.abs(out - ref).mean() < 0.01
 
 
+def test_fastio_png_mask_matches_pil(tmp_path):
+    """Native PNG mask decode+nearest-resize == the PIL path for
+    grayscale id masks; RGB/palette masks return None (PIL fallback)."""
+    from slotdiffusion_tpu.data.fastio import (decode_png_mask,
+                                               fastio_available)
+    if not fastio_available():
+        pytest.skip("native fastio not built")
+    r = np.random.RandomState(1)
+    ids = r.randint(0, 11, (64, 48)).astype(np.uint8)
+    p = str(tmp_path / "m.png")
+    Image.fromarray(ids, mode="L").save(p)
+
+    out = decode_png_mask(p, (64, 48))
+    np.testing.assert_array_equal(out, ids)  # no-resize roundtrip
+
+    out = decode_png_mask(p, (32, 24))
+    tr = BaseTransforms((32, 24))
+    ref = tr.process_mask(ids)
+    np.testing.assert_array_equal(out.astype(np.int32), ref)
+
+    # transforms.load_mask wraps the same path
+    lm = tr.load_mask(p)
+    assert lm is not None and lm.dtype == np.int32
+    np.testing.assert_array_equal(lm, ref)
+
+    # RGB-coded mask must NOT be luminance-mixed: fastio refuses
+    rgb = np.stack([ids, ids * 3, ids * 7], -1).astype(np.uint8)
+    p_rgb = str(tmp_path / "rgb.png")
+    Image.fromarray(rgb).save(p_rgb)
+    assert decode_png_mask(p_rgb, (32, 24)) is None
+    assert tr.load_mask(p_rgb) is None
+
+
+def test_fastio_png_rgb_norm_matches_pil(tmp_path):
+    from slotdiffusion_tpu.data.fastio import (decode_png_norm,
+                                               fastio_available)
+    if not fastio_available():
+        pytest.skip("native fastio not built")
+    r = np.random.RandomState(2)
+    img = (r.rand(24, 20, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "img.png")
+    Image.fromarray(img).save(p)
+    out = decode_png_norm(p)
+    ref = (np.asarray(img, np.float32) / 255.0 - 0.5) / 0.5
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
 def test_movi_dataset_from_generated_layout(tmp_path):
     from slotdiffusion_tpu.data.movi import build_movi_dataset
     from slotdiffusion_tpu.utils import BaseParams
