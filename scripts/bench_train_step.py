@@ -22,6 +22,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--optimizer", default="optax",
+                        choices=["optax", "fused"],
+                        help="optax.adam vs training.optim.fused_adam "
+                             "(identical math, single per-leaf kernel)")
+    parser.add_argument("--mode", default="full",
+                        choices=["full", "fwdbwd"],
+                        help="fwdbwd skips the optimizer (grads folded "
+                             "into the carry so nothing is DCE'd) — the "
+                             "difference to full attributes the Adam cost")
     args = parser.parse_args()
 
     import jax
@@ -29,6 +38,7 @@ def main():
     import optax
 
     from slotdiffusion_tpu.models.unet import UNetModel
+    from slotdiffusion_tpu.training.optim import fused_adam
 
     B, LATENT, SLOTS, SLOT_DIM = 32, (32, 32), 15, 192
     unet = UNetModel(
@@ -42,7 +52,7 @@ def main():
     ctx = jax.random.normal(rng, (B, SLOTS, SLOT_DIM), jnp.float32)
     eps = jax.random.normal(jax.random.PRNGKey(3), x0.shape, jnp.float32)
     params = unet.init(jax.random.PRNGKey(1), x0, t, ctx)["params"]
-    tx = optax.adam(1e-4)
+    tx = fused_adam(1e-4) if args.optimizer == "fused" else optax.adam(1e-4)
     opt_state = tx.init(params)
 
     def loss_fn(params, x, eps):
@@ -54,8 +64,13 @@ def main():
         def body(i, carry):
             params, opt_state, x = carry
             loss, grads = jax.value_and_grad(loss_fn)(params, x, eps)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            if args.mode == "fwdbwd":
+                # consume every grad leaf without the optimizer: the
+                # global norm feeds the carry, so backward stays live
+                loss = loss + 1e-12 * optax.global_norm(grads)
+            else:
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
             # feed the loss back so no step is dead code
             x = x + loss.astype(x.dtype) * 1e-12
             return params, opt_state, x
@@ -81,6 +96,8 @@ def main():
         "value": round(1.0 / per_step, 3),
         "unit": "steps/s",
         "ms_per_step": round(per_step * 1e3, 3),
+        "optimizer": args.optimizer,
+        "mode": args.mode,
     }))
 
 

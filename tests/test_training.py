@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 import pytest
 
 from slotdiffusion_tpu.data import DataModule
@@ -63,6 +64,36 @@ def test_optimizer_lr_groups():
     enc_up = float(jnp.abs(updates["enc"]["w"]).mean())
     dec_up = float(jnp.abs(updates["dm_decoder"]["w"]).mean())
     assert dec_up == pytest.approx(2 * enc_up, rel=1e-3)
+
+
+def test_fused_adam_matches_optax_adam():
+    """fused_adam (single per-leaf kernel) must trace optax.adam exactly:
+    same updates and state over a 10-step trajectory with a schedule."""
+    from slotdiffusion_tpu.training.optim import fused_adam
+
+    sched = cosine_warmup_schedule(1e-3, total_steps=50, warmup_steps=5,
+                                   min_lr=1e-5)
+    params = {"a": jnp.ones((8, 4)), "b": {"w": jnp.full((16,), 0.3)}}
+    ref_tx = optax.adam(sched)
+    new_tx = fused_adam(sched)
+    ref_state = ref_tx.init(params)
+    new_state = new_tx.init(params)
+    rng = np.random.RandomState(0)
+    p_ref = params
+    p_new = params
+    for step in range(10):
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(
+                rng.randn(*p.shape).astype(np.float32)), params)
+        up_ref, ref_state = ref_tx.update(grads, ref_state, p_ref)
+        up_new, new_state = new_tx.update(grads, new_state, p_new)
+        p_ref = optax.apply_updates(p_ref, up_ref)
+        p_new = optax.apply_updates(p_new, up_new)
+        for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                        jax.tree_util.tree_leaves(p_new)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-8,
+                                       err_msg=f"step {step}")
 
 
 def test_grad_accum_multisteps():
