@@ -30,12 +30,12 @@ class TransformerPredictor(nn.Module):
     def __call__(self, x, carry=None):
         for i in range(self.num_layers):
             if self.norm_first:
-                h = nn.LayerNorm(dtype=self.dtype)(x)
+                h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
                 h = nn.MultiHeadDotProductAttention(
                     num_heads=self.num_heads, dtype=self.dtype,
                     name=f"attn{i}")(h, h)
                 x = x + h
-                h = nn.LayerNorm(dtype=self.dtype)(x)
+                h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
                 h = nn.Dense(self.ffn_dim, dtype=self.dtype)(h)
                 h = nn.relu(h)
                 h = nn.Dense(self.d_model, dtype=self.dtype)(h)
@@ -44,11 +44,11 @@ class TransformerPredictor(nn.Module):
                 h = nn.MultiHeadDotProductAttention(
                     num_heads=self.num_heads, dtype=self.dtype,
                     name=f"attn{i}")(x, x)
-                x = nn.LayerNorm(dtype=self.dtype)(x + h)
+                x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x + h)
                 h = nn.Dense(self.ffn_dim, dtype=self.dtype)(x)
                 h = nn.relu(h)
                 h = nn.Dense(self.d_model, dtype=self.dtype)(h)
-                x = nn.LayerNorm(dtype=self.dtype)(x + h)
+                x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x + h)
         return x, carry
 
 
@@ -62,7 +62,7 @@ class ResidualMLPPredictor(nn.Module):
     @nn.compact
     def __call__(self, x, carry=None):
         res = None if self.norm_first else x
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         if self.norm_first:
             res = x
         chans = list(self.channels)

@@ -121,7 +121,9 @@ class SlotAttention(nn.Module):
         x = inputs.astype(jnp.float32)
         mu = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.var(x, axis=-1, keepdims=True)
-        x = (x - mu) * jax.lax.rsqrt(var + 1e-6) * ln_in_scale + ln_in_bias
+        # eps 1e-5 = torch LayerNorm default (reference norm_inputs,
+        # slot_attention.py:36-38)
+        x = (x - mu) * jax.lax.rsqrt(var + 1e-5) * ln_in_scale + ln_in_bias
         x = x.astype(self.dtype)
         k = (x @ wk.astype(self.dtype)).astype(jnp.float32)  # [B, N, D]
         v = (x @ wv.astype(self.dtype)).astype(jnp.float32)  # [B, N, D]

@@ -163,6 +163,81 @@ def convert_torch_unet(
     return params
 
 
+def convert_torch_slot_attention(state_dict):
+    """Reference SlotAttention (video_based/models/savi.py:17-114, identical
+    img copy slot_attention.py:15-104) -> flax `models.slot_attention
+    .SlotAttention` params.
+
+    Both GRU formulations pack gates (r | z | n) and keep the hidden bias
+    inside the reset gate's tanh argument, so weight_ih/weight_hh transpose
+    directly onto gru_wi/gru_wh."""
+    sd = numpy_state_dict(state_dict)
+    return {
+        "ln_in_scale": sd["norm_inputs.weight"],
+        "ln_in_bias": sd["norm_inputs.bias"],
+        "wk": np.transpose(sd["project_k.weight"]),
+        "wv": np.transpose(sd["project_v.weight"]),
+        "ln_q_scale": sd["project_q.0.weight"],
+        "ln_q_bias": sd["project_q.0.bias"],
+        "wq": np.transpose(sd["project_q.1.weight"]),
+        "gru_wi": np.transpose(sd["gru.weight_ih"]),
+        "gru_bi": sd["gru.bias_ih"],
+        "gru_wh": np.transpose(sd["gru.weight_hh"]),
+        "gru_bh": sd["gru.bias_hh"],
+        "ln_mlp_scale": sd["mlp.0.weight"],
+        "ln_mlp_bias": sd["mlp.0.bias"],
+        "w1": np.transpose(sd["mlp.1.weight"]),
+        "b1": sd["mlp.1.bias"],
+        "w2": np.transpose(sd["mlp.3.weight"]),
+        "b2": sd["mlp.3.bias"],
+    }
+
+
+def _mha(sd, prefix, num_heads):
+    """torch nn.MultiheadAttention (packed in_proj) -> flax
+    MultiHeadDotProductAttention subtree. Both split the packed feature
+    dim into heads contiguously, so a reshape after transpose aligns."""
+    w = sd[f"{prefix}.in_proj_weight"]        # [3D, D]
+    b = sd[f"{prefix}.in_proj_bias"]          # [3D]
+    D = w.shape[1]
+    hd = D // num_heads
+    out = {}
+    for i, name in enumerate(("query", "key", "value")):
+        wi = np.transpose(w[i * D:(i + 1) * D])        # [D_in, D_out]
+        out[name] = {"kernel": wi.reshape(D, num_heads, hd),
+                     "bias": b[i * D:(i + 1) * D].reshape(num_heads, hd)}
+    wo = np.transpose(sd[f"{prefix}.out_proj.weight"])  # [D_in, D_out]
+    out["out"] = {"kernel": wo.reshape(num_heads, hd, D),
+                  "bias": sd[f"{prefix}.out_proj.bias"]}
+    return out
+
+
+def convert_torch_transformer_predictor(state_dict, num_layers, num_heads):
+    """Reference TransformerPredictor (predictor.py:20-44) — a stack of
+    torch TransformerEncoderLayers — -> flax `models.predictor
+    .TransformerPredictor` params."""
+    sd = numpy_state_dict(state_dict)
+    params = {}
+    for i in range(num_layers):
+        p = f"transformer_encoder.layers.{i}"
+        params[f"attn{i}"] = _mha(sd, f"{p}.self_attn", num_heads)
+        params[f"LayerNorm_{2 * i}"] = _layernorm(sd, f"{p}.norm1")
+        params[f"LayerNorm_{2 * i + 1}"] = _layernorm(sd, f"{p}.norm2")
+        params[f"Dense_{2 * i}"] = _linear(sd, f"{p}.linear1")
+        params[f"Dense_{2 * i + 1}"] = _linear(sd, f"{p}.linear2")
+    return params
+
+
+def convert_torch_mlp_predictor(state_dict, num_linear):
+    """Reference ResidualMLPPredictor (predictor.py:47-73) -> flax
+    `models.predictor.ResidualMLPPredictor` params."""
+    sd = numpy_state_dict(state_dict)
+    params = {"LayerNorm_0": _layernorm(sd, "ln")}
+    for i in range(num_linear):
+        params[f"Dense_{i}"] = _linear(sd, f"mlp.{2 * i}")
+    return params
+
+
 def convert_torch_quantizer(state_dict):
     """Reference VectorQuantizer2 (vqvae/quantize.py:11-140) -> flax
     quantizer params: the [n_e, e_dim] codebook."""

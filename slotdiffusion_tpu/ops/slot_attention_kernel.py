@@ -63,7 +63,9 @@ SA_WEIGHT_KEYS = ("wq", "ln_q_scale", "ln_q_bias", "gru_wi", "gru_bi",
                   "gru_wh", "gru_bh", "ln_mlp_scale", "ln_mlp_bias",
                   "w1", "b1", "w2", "b2")
 
-_LN_EPS = 1e-6
+# torch nn.LayerNorm default eps — the reference builds its LNs with
+# default eps (slot_attention.py:38,41,51), so parity requires 1e-5.
+_LN_EPS = 1e-5
 
 
 def _ln(x, scale, bias):

@@ -51,6 +51,25 @@ def _install_stubs():
     nerv.training = _stub_module("nerv.training", BaseModel=nn.Module)
     nerv.utils = _stub_module("nerv.utils")
 
+    def _nerv_unavailable(*a, **k):
+        raise NotImplementedError(
+            "nerv.models is external to the reference repo; parity tests "
+            "only exercise code paths that never call these helpers")
+
+    # savi.py imports these at module level; SlotAttention/predictor
+    # classes under test never call them
+    nerv.models = _stub_module(
+        "nerv.models", conv_norm_act=_nerv_unavailable,
+        deconv_norm_act=_nerv_unavailable,
+        deconv_out_shape=_nerv_unavailable)
+
+    # eval_utils.py imports skimage.metrics at module level (not installed
+    # in this image); the metric fns are never called by parity tests
+    sk = _stub_module("skimage")
+    sk.metrics = _stub_module(
+        "skimage.metrics", structural_similarity=_nerv_unavailable,
+        peak_signal_noise_ratio=_nerv_unavailable)
+
     class _LPIPSStub(nn.Module):
         def __init__(self, *a, **k):
             super().__init__()

@@ -461,3 +461,138 @@ def test_unet_optimized_paths_match_reference():
     jm = UNetModel(resblock_updown=False, attn_softmax="fast",
                    phase_upsample=True, split_skip=True, **_UNET_CFG)
     _compare_unet(tm, jm, params, seed=3)
+
+
+# ---------------------------------------------------------------------------
+# slot attention & predictors (video_based/models/savi.py, predictor.py)
+# ---------------------------------------------------------------------------
+
+
+def _tree_paths_match(init_params, converted):
+    flat_i = jax.tree_util.tree_flatten_with_path(init_params)[0]
+    flat_c = jax.tree_util.tree_flatten_with_path(converted)[0]
+    pi = sorted("/".join(str(getattr(k, "key", k)) for k in kp)
+                for kp, _ in flat_i)
+    pc = sorted("/".join(str(getattr(k, "key", k)) for k in kp)
+                for kp, _ in flat_c)
+    assert pi == pc, f"param tree mismatch:\n init={pi}\n conv={pc}"
+
+
+def test_slot_attention_matches_reference():
+    """The core inverted-attention op: reference SlotAttention
+    (savi.py:17-114) vs the flax rebuild with converted weights — LN eps,
+    GRU gate packing, +eps renormalization, residual MLP, 3 iterations."""
+    ref_savi = ref_import("savi")
+    from slotdiffusion_tpu.models.slot_attention import SlotAttention
+    from slotdiffusion_tpu.models.torch_convert import (
+        convert_torch_slot_attention)
+
+    torch.manual_seed(0)
+    tm = ref_savi.SlotAttention(in_features=48, num_iterations=3,
+                                num_slots=5, slot_size=32,
+                                mlp_hidden_size=64)
+    tm.eval()
+    params = convert_torch_slot_attention(tm.state_dict())
+    jm = SlotAttention(num_iterations=3, slot_size=32, mlp_hidden_size=64,
+                       use_pallas=False)
+    init = jm.init(jax.random.PRNGKey(0), jnp.zeros((1, 36, 48)),
+                   jnp.zeros((1, 5, 32)))
+    _tree_paths_match(init["params"], params)
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 36, 48).astype(np.float32)
+    s0 = rng.randn(2, 5, 32).astype(np.float32)
+    with torch.no_grad():
+        ref_y = tm(torch.tensor(x), torch.tensor(s0)).numpy()
+    y = jm.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                 jnp.asarray(x), jnp.asarray(s0))
+    np.testing.assert_allclose(np.asarray(y), ref_y, rtol=1e-4, atol=1e-5)
+
+
+def test_slot_attention_wmask_matches_reference():
+    """SlotAttentionWMask (savi_diffusion.py:10-71): the last-iteration
+    post-softmax / pre-renorm attention map, transposed to [B, S, N], is
+    the segmentation mask — both outputs must agree."""
+    ref_sd = ref_import("savi_diffusion")
+    from slotdiffusion_tpu.models.slot_attention import SlotAttention
+    from slotdiffusion_tpu.models.torch_convert import (
+        convert_torch_slot_attention)
+
+    torch.manual_seed(3)
+    tm = ref_sd.SlotAttentionWMask(in_features=32, num_iterations=2,
+                                   num_slots=4, slot_size=32,
+                                   mlp_hidden_size=48)
+    tm.eval()
+    params = convert_torch_slot_attention(tm.state_dict())
+    jm = SlotAttention(num_iterations=2, slot_size=32, mlp_hidden_size=48,
+                       return_last_attn=True, use_pallas=False)
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 64, 32).astype(np.float32)
+    s0 = rng.randn(2, 4, 32).astype(np.float32)
+    with torch.no_grad():
+        ref_s, ref_m = tm(torch.tensor(x), torch.tensor(s0))
+    s, m = jm.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                    jnp.asarray(x), jnp.asarray(s0))
+    np.testing.assert_allclose(np.asarray(s), ref_s.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m), ref_m.numpy(), rtol=1e-4,
+                               atol=1e-6)
+
+
+@pytest.mark.parametrize("norm_first", [True, False])
+def test_transformer_predictor_matches_reference(norm_first):
+    """TransformerPredictor (predictor.py:20-44) = stacked torch
+    TransformerEncoderLayers (packed-QKV MHA, ReLU FFN, pre/post-norm)
+    vs the flax rebuild with converted weights."""
+    ref_pred = ref_import("predictor")
+    from slotdiffusion_tpu.models.predictor import TransformerPredictor
+    from slotdiffusion_tpu.models.torch_convert import (
+        convert_torch_transformer_predictor)
+
+    torch.manual_seed(5)
+    tm = ref_pred.TransformerPredictor(d_model=32, num_layers=2,
+                                       num_heads=4, ffn_dim=64,
+                                       norm_first=norm_first)
+    tm.eval()
+    params = convert_torch_transformer_predictor(
+        tm.state_dict(), num_layers=2, num_heads=4)
+    jm = TransformerPredictor(d_model=32, num_layers=2, num_heads=4,
+                              ffn_dim=64, norm_first=norm_first)
+    init = jm.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 32)))
+    _tree_paths_match(init["params"], params)
+
+    rng = np.random.RandomState(6)
+    x = rng.randn(2, 7, 32).astype(np.float32)
+    with torch.no_grad():
+        ref_y = tm(torch.tensor(x)).numpy()
+    y, _ = jm.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                    jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), ref_y, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("norm_first", [True, False])
+def test_mlp_predictor_matches_reference(norm_first):
+    """ResidualMLPPredictor (predictor.py:47-73): pre-LN MLP with the
+    residual taken pre- or post-LN."""
+    ref_pred = ref_import("predictor")
+    from slotdiffusion_tpu.models.predictor import ResidualMLPPredictor
+    from slotdiffusion_tpu.models.torch_convert import (
+        convert_torch_mlp_predictor)
+
+    channels = [32, 64, 64, 32]
+    torch.manual_seed(7)
+    tm = ref_pred.ResidualMLPPredictor(channels, norm_first=norm_first)
+    tm.eval()
+    params = convert_torch_mlp_predictor(tm.state_dict(),
+                                         num_linear=len(channels) - 1)
+    jm = ResidualMLPPredictor(channels=channels, norm_first=norm_first)
+    init = jm.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 32)))
+    _tree_paths_match(init["params"], params)
+
+    rng = np.random.RandomState(8)
+    x = rng.randn(2, 5, 32).astype(np.float32)
+    with torch.no_grad():
+        ref_y = tm(torch.tensor(x)).numpy()
+    y, _ = jm.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                    jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), ref_y, rtol=1e-4, atol=1e-5)
