@@ -243,3 +243,92 @@ def convert_torch_quantizer(state_dict):
     quantizer params: the [n_e, e_dim] codebook."""
     sd = numpy_state_dict(state_dict)
     return {"embedding": sd["embedding.weight"]}
+
+
+def _vq_resblock(sd, p):
+    """Reference vqvae ResnetBlock (modules.py:54-113) -> flax subtree."""
+    out = {
+        "GroupNorm32_0": _norm(sd, f"{p}.norm1"),
+        "Conv_0": _conv(sd, f"{p}.conv1"),
+        "GroupNorm32_1": _norm(sd, f"{p}.norm2"),
+        "Conv_1": _conv(sd, f"{p}.conv2"),
+    }
+    if f"{p}.nin_shortcut.weight" in sd:
+        out["Conv_2"] = _conv(sd, f"{p}.nin_shortcut")
+    elif f"{p}.conv_shortcut.weight" in sd:
+        out["Conv_2"] = _conv(sd, f"{p}.conv_shortcut")
+    return out
+
+
+def _vq_attnblock(sd, p):
+    """Reference vqvae AttnBlock (modules.py:113-165): q/k/v/proj_out 1x1
+    convs, called in that order in the flax module."""
+    return {
+        "GroupNorm32_0": _norm(sd, f"{p}.norm"),
+        "Conv_0": _conv(sd, f"{p}.q"),
+        "Conv_1": _conv(sd, f"{p}.k"),
+        "Conv_2": _conv(sd, f"{p}.v"),
+        "Conv_3": _conv(sd, f"{p}.proj_out"),
+    }
+
+
+def convert_torch_vqvae(state_dict, enc_dec_dict):
+    """Reference VQVAE (vqvae/VQVAE.py:40-152 over modules.py) -> flax
+    `models.vqvae.VQVAE` params. Walks the same level/block bookkeeping as
+    the reference ctors (modules.py:168-260, 262-340); mid attention is
+    unconditional ('vanilla' make_attn), per-level attention follows
+    attn_resolutions at the running resolution."""
+    sd = numpy_state_dict(state_dict)
+    ch_mult = list(enc_dec_dict["ch_mult"])
+    nrb = enc_dec_dict["num_res_blocks"]
+    attn_res = set(enc_dec_dict.get("attn_resolutions", ()))
+    res = enc_dec_dict["resolution"]
+    vanilla = enc_dec_dict.get("attn_type", "vanilla") == "vanilla"
+
+    enc = {"conv_in": _conv(sd, "encoder.conv_in"),
+           "mid_res1": _vq_resblock(sd, "encoder.mid.block_1"),
+           "mid_res2": _vq_resblock(sd, "encoder.mid.block_2"),
+           "norm_out": _norm(sd, "encoder.norm_out"),
+           "conv_out": _conv(sd, "encoder.conv_out")}
+    if vanilla:
+        enc["mid_attn"] = _vq_attnblock(sd, "encoder.mid.attn_1")
+    cur = res
+    for level in range(len(ch_mult)):
+        for i in range(nrb):
+            enc[f"down{level}_res{i}"] = _vq_resblock(
+                sd, f"encoder.down.{level}.block.{i}")
+            if vanilla and cur in attn_res:
+                enc[f"down{level}_attn{i}"] = _vq_attnblock(
+                    sd, f"encoder.down.{level}.attn.{i}")
+        if level != len(ch_mult) - 1:
+            enc[f"down{level}_ds"] = _conv(
+                sd, f"encoder.down.{level}.downsample.conv")
+            cur //= 2
+
+    dec = {"conv_in": _conv(sd, "decoder.conv_in"),
+           "mid_res1": _vq_resblock(sd, "decoder.mid.block_1"),
+           "mid_res2": _vq_resblock(sd, "decoder.mid.block_2"),
+           "norm_out": _norm(sd, "decoder.norm_out"),
+           "conv_out": _conv(sd, "decoder.conv_out")}
+    if vanilla:
+        dec["mid_attn"] = _vq_attnblock(sd, "decoder.mid.attn_1")
+    cur = res // 2 ** (len(ch_mult) - 1)
+    for level in reversed(range(len(ch_mult))):
+        for i in range(nrb + 1):
+            dec[f"up{level}_res{i}"] = _vq_resblock(
+                sd, f"decoder.up.{level}.block.{i}")
+            if vanilla and cur in attn_res:
+                dec[f"up{level}_attn{i}"] = _vq_attnblock(
+                    sd, f"decoder.up.{level}.attn.{i}")
+        if level != 0:
+            dec[f"up{level}_us"] = _conv(
+                sd, f"decoder.up.{level}.upsample.conv")
+            cur *= 2
+
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quantize": {"embedding": sd["quantize.embedding.weight"]},
+        "quant_conv": _conv(sd, "quant_conv"),
+        "post_quant_conv": _conv(sd, "post_quant_conv"),
+    }

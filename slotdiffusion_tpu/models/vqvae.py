@@ -46,6 +46,11 @@ def _temporal_unflatten(x, bt):
     return x.reshape(B, T, *x.shape[1:])
 
 
+# GroupNorm eps: the reference's Normalize() builds GroupNorm(eps=1e-6)
+# throughout the VQ-VAE (modules.py:12-14)
+_GN_EPS = 1e-6
+
+
 class ResnetBlock(nn.Module):
     out_channels: int
     dropout: float = 0.0
@@ -53,10 +58,10 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
-        h = GroupNorm32(dtype=self.dtype)(x)
+        h = GroupNorm32(epsilon=_GN_EPS, dtype=self.dtype)(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype)(h)
-        h = GroupNorm32(dtype=self.dtype)(h)
+        h = GroupNorm32(epsilon=_GN_EPS, dtype=self.dtype)(h)
         h = nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
@@ -74,7 +79,7 @@ class AttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = GroupNorm32(dtype=self.dtype)(x)
+        h = GroupNorm32(epsilon=_GN_EPS, dtype=self.dtype)(x)
         q = nn.Conv(C, (1, 1), dtype=self.dtype)(h).reshape(B, H * W, C)
         k = nn.Conv(C, (1, 1), dtype=self.dtype)(h).reshape(B, H * W, C)
         v = nn.Conv(C, (1, 1), dtype=self.dtype)(h).reshape(B, H * W, C)
@@ -100,31 +105,43 @@ class Encoder(nn.Module):
     resolution: int = 128
     dropout: float = 0.0
     double_z: bool = False
+    attn_type: str = "vanilla"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
-        h = nn.Conv(self.ch, (3, 3), dtype=self.dtype)(x)
+        attn = self.attn_type == "vanilla"
+        h = nn.Conv(self.ch, (3, 3), dtype=self.dtype, name="conv_in")(x)
         cur_res = self.resolution
         for level, mult in enumerate(self.ch_mult):
-            for _ in range(self.num_res_blocks):
+            for i in range(self.num_res_blocks):
                 h = ResnetBlock(self.ch * mult, self.dropout,
-                                dtype=self.dtype)(h, train)
-                if cur_res in self.attn_resolutions:
-                    h = AttnBlock(dtype=self.dtype)(h)
+                                dtype=self.dtype,
+                                name=f"down{level}_res{i}")(h, train)
+                if attn and cur_res in self.attn_resolutions:
+                    h = AttnBlock(dtype=self.dtype,
+                                  name=f"down{level}_attn{i}")(h)
             if level != len(self.ch_mult) - 1:
                 # asymmetric-pad stride-2 conv downsample (modules.py:84-99)
                 h = nn.Conv(h.shape[-1], (3, 3), strides=(2, 2),
-                            padding=((0, 1), (0, 1)), dtype=self.dtype)(h)
+                            padding=((0, 1), (0, 1)), dtype=self.dtype,
+                            name=f"down{level}_ds")(h)
                 cur_res //= 2
-        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype)(h, train)
-        if self.attn_resolutions:
-            h = AttnBlock(dtype=self.dtype)(h)
-        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype)(h, train)
-        h = GroupNorm32(dtype=self.dtype)(h)
+        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype,
+                        name="mid_res1")(h, train)
+        # the reference builds mid attention unconditionally (make_attn with
+        # default attn_type='vanilla', modules.py:228-233) — even when
+        # attn_resolutions is empty, as in every shipped config
+        if attn:
+            h = AttnBlock(dtype=self.dtype, name="mid_attn")(h)
+        h = ResnetBlock(h.shape[-1], self.dropout, dtype=self.dtype,
+                        name="mid_res2")(h, train)
+        h = GroupNorm32(epsilon=_GN_EPS, dtype=self.dtype,
+                        name="norm_out")(h)
         h = nn.silu(h)
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
-        return nn.Conv(out_ch, (3, 3), dtype=jnp.float32)(h)
+        return nn.Conv(out_ch, (3, 3), dtype=jnp.float32,
+                       name="conv_out")(h)
 
 
 class Decoder(nn.Module):
@@ -135,32 +152,41 @@ class Decoder(nn.Module):
     attn_resolutions: Tuple[int, ...] = ()
     resolution: int = 128
     dropout: float = 0.0
+    attn_type: str = "vanilla"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, z, train=False):
+        attn = self.attn_type == "vanilla"
         block_in = self.ch * self.ch_mult[-1]
-        h = nn.Conv(block_in, (3, 3), dtype=self.dtype)(z)
-        h = ResnetBlock(block_in, self.dropout, dtype=self.dtype)(h, train)
-        if self.attn_resolutions:
-            h = AttnBlock(dtype=self.dtype)(h)
-        h = ResnetBlock(block_in, self.dropout, dtype=self.dtype)(h, train)
+        h = nn.Conv(block_in, (3, 3), dtype=self.dtype, name="conv_in")(z)
+        h = ResnetBlock(block_in, self.dropout, dtype=self.dtype,
+                        name="mid_res1")(h, train)
+        if attn:  # unconditional in the reference (see Encoder note)
+            h = AttnBlock(dtype=self.dtype, name="mid_attn")(h)
+        h = ResnetBlock(block_in, self.dropout, dtype=self.dtype,
+                        name="mid_res2")(h, train)
         cur_res = self.resolution // (2 ** (len(self.ch_mult) - 1))
         for level in reversed(range(len(self.ch_mult))):
             ch = self.ch * self.ch_mult[level]
-            for _ in range(self.num_res_blocks + 1):
-                h = ResnetBlock(ch, self.dropout, dtype=self.dtype)(h, train)
-                if cur_res in self.attn_resolutions:
-                    h = AttnBlock(dtype=self.dtype)(h)
+            for i in range(self.num_res_blocks + 1):
+                h = ResnetBlock(ch, self.dropout, dtype=self.dtype,
+                                name=f"up{level}_res{i}")(h, train)
+                if attn and cur_res in self.attn_resolutions:
+                    h = AttnBlock(dtype=self.dtype,
+                                  name=f"up{level}_attn{i}")(h)
             if level != 0:
                 B, H, W, C = h.shape
                 h = jax.image.resize(h, (B, 2 * H, 2 * W, C),
                                      method="nearest")
-                h = nn.Conv(C, (3, 3), dtype=self.dtype)(h)
+                h = nn.Conv(C, (3, 3), dtype=self.dtype,
+                            name=f"up{level}_us")(h)
                 cur_res *= 2
-        h = GroupNorm32(dtype=self.dtype)(h)
+        h = GroupNorm32(epsilon=_GN_EPS, dtype=self.dtype,
+                        name="norm_out")(h)
         h = nn.silu(h)
-        return nn.Conv(self.out_ch, (3, 3), dtype=jnp.float32)(h)
+        return nn.Conv(self.out_ch, (3, 3), dtype=jnp.float32,
+                       name="conv_out")(h)
 
 
 class VectorQuantizer(nn.Module):
@@ -236,13 +262,13 @@ class VQVAE(nn.Module):
             z_channels=ed["z_channels"],
             attn_resolutions=tuple(ed.get("attn_resolutions", ())),
             resolution=ed["resolution"], dropout=ed.get("dropout", 0.0),
-            dtype=self.dtype)
+            attn_type=ed.get("attn_type", "vanilla"), dtype=self.dtype)
         self.decoder = Decoder(
             ch=ed["ch"], ch_mult=tuple(ed["ch_mult"]),
             num_res_blocks=ed["num_res_blocks"], out_ch=ed["out_ch"],
             attn_resolutions=tuple(ed.get("attn_resolutions", ())),
             resolution=ed["resolution"], dropout=ed.get("dropout", 0.0),
-            dtype=self.dtype)
+            attn_type=ed.get("attn_type", "vanilla"), dtype=self.dtype)
         self.quantize = VectorQuantizer(
             n_e=self.vq_dict["n_embed"], e_dim=self.vq_dict["embed_dim"],
             beta=self.vq_dict.get("beta", 0.25), dtype=self.dtype)

@@ -596,3 +596,63 @@ def test_mlp_predictor_matches_reference(norm_first):
     y, _ = jm.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
                     jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(y), ref_y, rtol=1e-4, atol=1e-5)
+
+
+def test_vqvae_matches_reference():
+    """Full VQ-VAE: taming-style Encoder (down/mid with unconditional
+    vanilla mid-attention) -> quant_conv -> VectorQuantizer -> 
+    post_quant_conv -> Decoder, reference VQVAE.py:40-152 over
+    modules.py:168-362, vs the flax rebuild with converted weights.
+    Covers per-level AttnBlocks (attn_resolutions), asymmetric-pad
+    downsampling, nearest-upsample convs, GN eps 1e-6, and codebook
+    index agreement."""
+    ref_vqvae = ref_import("vqvae.VQVAE")
+    from slotdiffusion_tpu.models.torch_convert import convert_torch_vqvae
+    from slotdiffusion_tpu.models.vqvae import VQVAE
+
+    # ch=32: the reference's Normalize() hard-pins num_groups=32
+    enc_dec = dict(resolution=32, in_channels=3, z_channels=4, ch=32,
+                   ch_mult=[1, 2], num_res_blocks=1,
+                   attn_resolutions=[16], out_ch=3, dropout=0.0)
+    vq = dict(n_embed=64, embed_dim=4)
+    torch.manual_seed(11)
+    tm = ref_vqvae.VQVAE(enc_dec_dict=dict(enc_dec),
+                         vq_dict=dict(vq, percept_loss_w=1.0),
+                         use_loss=False)
+    tm.eval()
+    params = convert_torch_vqvae(tm.state_dict(), enc_dec)
+    jm = VQVAE(enc_dec_dict=enc_dec, vq_dict=vq)
+
+    rng = np.random.RandomState(12)
+    x = rng.randn(2, 3, 32, 32).astype(np.float32)
+    xt = torch.tensor(x)
+    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+    init = jm.init(jax.random.PRNGKey(0), {"img": jnp.zeros((1, 32, 32, 3))})
+    _tree_paths_match(init["params"], params)
+
+    with torch.no_grad():
+        z_t = tm.encode(xt).numpy()                      # pre-VQ latents
+        q_t, qloss_t, idx_t = tm.encode_quantize(xt)
+        rec_t = tm.decode(q_t).numpy()
+        q_t = q_t.numpy()
+
+    z_j = jm.apply(variables, xj, method=VQVAE.encode)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(z_j), (0, 3, 1, 2)), z_t,
+        rtol=2e-4, atol=2e-5)
+
+    q_j, qloss_j, idx_j = jm.apply(variables, xj,
+                                   method=VQVAE.encode_quantize)
+    assert np.array_equal(np.asarray(idx_j).reshape(-1),
+                          idx_t.numpy().reshape(-1))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(q_j), (0, 3, 1, 2)), q_t,
+        rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(qloss_j), float(qloss_t), rtol=1e-4)
+
+    rec_j = jm.apply(variables, q_j, method=VQVAE.decode)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(rec_j), (0, 3, 1, 2)), rec_t,
+        rtol=2e-4, atol=5e-5)
