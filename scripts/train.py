@@ -29,6 +29,9 @@ def main():
     parser.add_argument("--san_check_val_step", type=int, default=2)
     parser.add_argument("--max_steps", type=int, default=-1,
                         help="cap total optimizer steps (smoke tests)")
+    parser.add_argument("--max_epochs", type=int, default=-1,
+                        help="override params.max_epochs (smoke tests / "
+                             "synthetic-pipeline refreshes)")
     parser.add_argument("--profile_dir", default="",
                         help="write a jax.profiler trace of a few train "
                              "steps to this dir")
@@ -59,6 +62,8 @@ def main():
         params.use_bf16 = True
     if args.max_steps > 0:
         params.max_steps = args.max_steps
+    if args.max_epochs > 0:
+        params.max_epochs = args.max_epochs
     if args.profile_dir:
         params.profile_dir = args.profile_dir
 

@@ -101,13 +101,13 @@ class ARDecoderBlock(nn.Module):
 
     def setup(self):
         d = self.d_model
-        self.self_attn_ln = nn.LayerNorm(dtype=self.dtype)
+        self.self_attn_ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.self_attn = ARMultiHeadAttention(
             d, self.num_heads, self.gain, dtype=self.dtype)
-        self.cross_ln = nn.LayerNorm(dtype=self.dtype)
+        self.cross_ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.cross_attn = ARMultiHeadAttention(
             d, self.num_heads, self.gain, dtype=self.dtype)
-        self.ffn_ln = nn.LayerNorm(dtype=self.dtype)
+        self.ffn_ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         kaiming = nn.initializers.variance_scaling(2.0, "fan_in",
                                                    "truncated_normal")
         out_init = nn.initializers.variance_scaling(
@@ -175,7 +175,7 @@ class STEVETransformerDecoder(nn.Module):
                 name=f"block{i}")
             for i in range(self.num_layers)
         ]
-        self.final_ln = nn.LayerNorm(dtype=self.dtype)
+        self.final_ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.head = nn.Dense(self.vocab_size, use_bias=False,
                              dtype=jnp.float32)
 

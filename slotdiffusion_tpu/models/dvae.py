@@ -23,16 +23,27 @@ Dtype = Any
 
 
 def pixel_shuffle(x, r=2):
-    """Depth-to-space: [B, H, W, C*r*r] -> [B, H*r, W*r, C]."""
+    """Depth-to-space: [B, H, W, C*r*r] -> [B, H*r, W*r, C].
+
+    Channel packing follows torch nn.PixelShuffle: the input channel index
+    decomposes as (c_out, r_row, r_col) — so torch-trained conv weights
+    feeding a PixelShuffle convert without permutation."""
     B, H, W, C = x.shape
     c = C // (r * r)
-    x = x.reshape(B, H, W, r, r, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(B, H, W, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
     return x.reshape(B, H * r, W * r, c)
 
 
 class Conv2dBlock(nn.Module):
-    """Conv -> GroupNorm(1) -> ReLU (steve_utils.py:98-122 uses GN + relu)."""
+    """Bias-free conv -> GroupNorm(1 group) -> ReLU (steve_utils.py:95-119:
+    `F.group_norm(x, 1, ...)` over a bias-less kaiming conv).
+
+    Padding follows the reference call sites (dVAE.py:25-50): k=stride
+    patchify convs use padding 0, k=3 s=1 uses symmetric padding 1, k=1
+    needs none — all representable as torch-style symmetric padding k//2
+    except the patchify case.
+    """
 
     out_channels: int
     kernel_size: int = 1
@@ -41,15 +52,18 @@ class Conv2dBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.kernel_size == self.stride:
+            pad = ((0, 0), (0, 0))  # torch padding=0 patchify
+        else:
+            p = self.kernel_size // 2
+            pad = ((p, p), (p, p))  # torch symmetric padding=k//2
         x = nn.Conv(
             self.out_channels,
             (self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride),
-            padding="SAME" if self.stride == 1 else
-            ((0, 0), (0, 0)) if self.kernel_size == self.stride else "SAME",
+            padding=pad, use_bias=False,
             dtype=self.dtype)(x)
-        g = min(32, x.shape[-1])
-        x = nn.GroupNorm(num_groups=g, dtype=jnp.float32,
+        x = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=jnp.float32,
                          param_dtype=jnp.float32)(
                              x.astype(jnp.float32)).astype(x.dtype)
         return nn.relu(x)

@@ -44,17 +44,21 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         identity = x
+        # torch conv3x3 pads `dilation` on BOTH sides (resnet.py:12-29);
+        # XLA's SAME pads (0, 1) for stride 2, which shifts the sampling
+        # phase — explicit symmetric padding is required for parity
+        pad = ((self.dilation, self.dilation),) * 2
         h = nn.Conv(
             self.planes, (3, 3), strides=(self.stride, self.stride),
             kernel_dilation=(self.dilation, self.dilation),
-            padding="SAME", use_bias=False, kernel_init=resnet_conv_init,
+            padding=pad, use_bias=False, kernel_init=resnet_conv_init,
             dtype=self.dtype)(x)
         h = _GN(dtype=self.dtype)(h)
         h = nn.relu(h)
         h = nn.Conv(
             self.planes, (3, 3),
             kernel_dilation=(self.dilation, self.dilation),
-            padding="SAME", use_bias=False, kernel_init=resnet_conv_init,
+            padding=pad, use_bias=False, kernel_init=resnet_conv_init,
             dtype=self.dtype)(h)
         h = _GN(dtype=self.dtype)(h)
         if self.downsample:
@@ -104,6 +108,10 @@ class ResNet(nn.Module):
         dilation = 1
         for stage in range(num_stages):
             stride = 1 if stage == 0 else 2
+            # torchvision _make_layer semantics (resnet.py:266-279): the
+            # stage's FIRST block keeps the pre-update dilation; only the
+            # remaining blocks see the dilated rate
+            prev_dilation = dilation
             if stage > 0 and self.replace_stride_with_dilation[stage - 1]:
                 dilation *= stride
                 stride = 1
@@ -113,7 +121,7 @@ class ResNet(nn.Module):
                 x = BasicBlock(
                     planes=planes[stage],
                     stride=stride if first else 1,
-                    dilation=dilation,
+                    dilation=prev_dilation if first else dilation,
                     downsample=first and (stride != 1
                                           or in_ch != planes[stage]),
                     dtype=self.dtype,

@@ -245,6 +245,97 @@ def convert_torch_quantizer(state_dict):
     return {"embedding": sd["embedding.weight"]}
 
 
+def _convnb(sd, prefix):
+    return {"kernel": np.transpose(sd[f"{prefix}.weight"], (2, 3, 1, 0))}
+
+
+def _gn_wrapped(sd, prefix):
+    return {"GroupNorm_0": {"scale": sd[f"{prefix}.weight"],
+                            "bias": sd[f"{prefix}.bias"]}}
+
+
+def convert_torch_resnet(state_dict, stage_sizes, use_layer4=True):
+    """Reference GN-ResNet18/34 (video_based/models/resnet.py:150-346) ->
+    flax `models.resnet.ResNet` params. Bias-free convs, GroupNorm(32)
+    with affine, optional 1x1 downsample branch per first stage block."""
+    sd = numpy_state_dict(state_dict)
+    params = {"Conv_0": _convnb(sd, "conv1"), "_GN_0": _gn_wrapped(sd, "bn1")}
+    bidx = 0
+    for stage in range(4 if use_layer4 else 3):
+        for i in range(stage_sizes[stage]):
+            p = f"layer{stage + 1}.{i}"
+            blk = {
+                "Conv_0": _convnb(sd, f"{p}.conv1"),
+                "_GN_0": _gn_wrapped(sd, f"{p}.bn1"),
+                "Conv_1": _convnb(sd, f"{p}.conv2"),
+                "_GN_1": _gn_wrapped(sd, f"{p}.bn2"),
+            }
+            if f"{p}.downsample.0.weight" in sd:
+                blk["Conv_2"] = _convnb(sd, f"{p}.downsample.0")
+                blk["_GN_2"] = _gn_wrapped(sd, f"{p}.downsample.1")
+            params[f"BasicBlock_{bidx}"] = blk
+            bidx += 1
+    return params
+
+
+def _conv2d_block(sd, p):
+    """Reference steve_utils.Conv2dBlock (steve_utils.py:95-119): bias-free
+    conv `m` + external GN(1) affine params living on the block itself."""
+    return {"Conv_0": _convnb(sd, f"{p}.m"),
+            "GroupNorm_0": {"scale": sd[f"{p}.weight"],
+                            "bias": sd[f"{p}.bias"]}}
+
+
+def convert_torch_dvae(state_dict):
+    """Reference dVAE (steve/dVAE.py:9-155, img twin slate/dVAE.py) ->
+    flax `models.dvae.DVAE` params. Sequential indices: encoder 0-6 are
+    Conv2dBlocks, 7 the logits conv; decoder 0-4 blocks, 5 PixelShuffle,
+    6-9 blocks, 10 PixelShuffle, 11 the output conv."""
+    sd = numpy_state_dict(state_dict)
+    params = {}
+    for i in range(7):
+        params[f"enc_blocks_{i}"] = _conv2d_block(sd, f"encoder.{i}")
+    params["enc_out"] = _conv(sd, "encoder.7")
+    for i in range(5):
+        params[f"dec_blocks1_{i}"] = _conv2d_block(sd, f"decoder.{i}")
+    for i in range(4):
+        params[f"dec_blocks2_{i}"] = _conv2d_block(sd, f"decoder.{i + 6}")
+    params["dec_out"] = _conv(sd, "decoder.11")
+    return params
+
+
+def convert_torch_steve_transformer(state_dict, num_layers):
+    """Reference STEVETransformerDecoder / SLATETransformerDecoder
+    (steve_transformer.py:245-334) -> flax `models.ar_decoder
+    .STEVETransformerDecoder` params."""
+    sd = numpy_state_dict(state_dict)
+
+    def attn(p):
+        return {k: _linear(sd, f"{p}.proj_{k[5:]}", bias=False)
+                for k in ("proj_q", "proj_k", "proj_v", "proj_o")}
+
+    params = {
+        "in_proj": _linear(sd, "in_proj"),
+        "tok_emb": {"embedding": sd["tok_emb.weight"]},
+        "pos_emb": sd["pos_emb.pe"],
+        "final_ln": _layernorm(sd, "tf_dec.layer_norm"),
+        "head": _linear(sd, "head", bias=False),
+    }
+    for i in range(num_layers):
+        p = f"tf_dec.blocks.{i}"
+        params[f"block{i}"] = {
+            "self_attn_ln": _layernorm(sd, f"{p}.self_attn_layer_norm"),
+            "self_attn": attn(f"{p}.self_attn"),
+            "cross_ln": _layernorm(
+                sd, f"{p}.encoder_decoder_attn_layer_norm"),
+            "cross_attn": attn(f"{p}.encoder_decoder_attn"),
+            "ffn_ln": _layernorm(sd, f"{p}.ffn_layer_norm"),
+            "ffn_fc1": _linear(sd, f"{p}.ffn.0"),
+            "ffn_fc2": _linear(sd, f"{p}.ffn.2"),
+        }
+    return params
+
+
 def _vq_resblock(sd, p):
     """Reference vqvae ResnetBlock (modules.py:54-113) -> flax subtree."""
     out = {

@@ -656,3 +656,146 @@ def test_vqvae_matches_reference():
     np.testing.assert_allclose(
         np.transpose(np.asarray(rec_j), (0, 3, 1, 2)), rec_t,
         rtol=2e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize("use_layer4,small_inputs", [(False, True),
+                                                     (True, False)])
+def test_gn_resnet18_matches_reference(use_layer4, small_inputs):
+    """GN-ResNet18 encoder (resnet.py:150-346): stride-1 3x3 stem /
+    7x7+maxpool stem, GroupNorm(32), optional layer4, 1x1 GN downsample
+    branches — vs the flax rebuild with converted weights."""
+    ref_resnet = ref_import("resnet")
+    from slotdiffusion_tpu.models.resnet import resnet18
+    from slotdiffusion_tpu.models.torch_convert import convert_torch_resnet
+
+    torch.manual_seed(21)
+    tm = ref_resnet.resnet18(small_inputs=small_inputs,
+                             use_layer4=use_layer4)
+    tm.eval()
+    params = convert_torch_resnet(tm.state_dict(), (2, 2, 2, 2),
+                                  use_layer4=use_layer4)
+    jm = resnet18(small_inputs=small_inputs, use_layer4=use_layer4)
+    size = 32 if small_inputs else 64
+    init = jm.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))
+    _tree_paths_match(init["params"], params)
+
+    rng = np.random.RandomState(22)
+    x = rng.randn(2, 3, size, size).astype(np.float32)
+    with torch.no_grad():
+        ref_y = tm(torch.tensor(x)).numpy()
+    y = jm.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                 jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(np.transpose(np.asarray(y), (0, 3, 1, 2)),
+                               ref_y, rtol=2e-4, atol=2e-5)
+
+
+def test_gn_resnet18_dilation_matches_reference():
+    """replace_stride_with_dilation: torchvision gives the stage's first
+    block the PRE-update dilation; the rebuild must replicate that."""
+    ref_resnet = ref_import("resnet")
+    from slotdiffusion_tpu.models.resnet import resnet18
+    from slotdiffusion_tpu.models.torch_convert import convert_torch_resnet
+
+    torch.manual_seed(23)
+    dil = [False, True, True]
+    tm = ref_resnet.resnet18(small_inputs=True, use_layer4=True,
+                             replace_stride_with_dilation=dil)
+    tm.eval()
+    params = convert_torch_resnet(tm.state_dict(), (2, 2, 2, 2),
+                                  use_layer4=True)
+    jm = resnet18(small_inputs=True, use_layer4=True,
+                  replace_stride_with_dilation=dil)
+    rng = np.random.RandomState(24)
+    x = rng.randn(1, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        ref_y = tm(torch.tensor(x)).numpy()
+    y = jm.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                 jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(np.transpose(np.asarray(y), (0, 3, 1, 2)),
+                               ref_y, rtol=2e-4, atol=2e-5)
+
+
+def test_dvae_matches_reference():
+    """dVAE tokenizer (steve/dVAE.py:9-155): stride-4 patchify Conv2dBlock
+    encoder (bias-free conv + GN(1) + relu), logits conv, PixelShuffle(2)
+    decoder — token logits, argmax token ids, and detokenized decode must
+    match the reference on converted weights."""
+    ref_dvae = ref_import("steve.dVAE")
+    from slotdiffusion_tpu.models.dvae import DVAE
+    from slotdiffusion_tpu.models.torch_convert import convert_torch_dvae
+
+    torch.manual_seed(31)
+    tm = ref_dvae.dVAE(vocab_size=32, img_channels=3)
+    tm.eval()
+    params = convert_torch_dvae(tm.state_dict())
+    jm = DVAE(vocab_size=32)
+    init = jm.init(jax.random.PRNGKey(0),
+                   {"img": jnp.zeros((1, 16, 16, 3))}, train=False)
+    _tree_paths_match(init["params"], params)
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+    rng = np.random.RandomState(32)
+    x = rng.rand(2, 3, 16, 16).astype(np.float32)
+    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+    with torch.no_grad():
+        logits_t = tm.encoder(torch.tensor(x)).numpy()
+        idx_t = tm.tokenize(torch.tensor(x), one_hot=False).numpy()
+        # decode fixed probabilities (gumbel RNG differs across frameworks)
+        z = rng.dirichlet(np.ones(32), size=(2, 4, 4)).astype(np.float32)
+        rec_t = tm.detokenize(
+            torch.tensor(np.transpose(z, (0, 3, 1, 2)))).numpy()
+
+    logits_j = jm.apply(variables, xj, method=DVAE.encode_logits)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(logits_j), (0, 3, 1, 2)), logits_t,
+        rtol=2e-4, atol=2e-5)
+    idx_j = jm.apply(variables, xj, one_hot=False, method=DVAE.tokenize)
+    assert np.array_equal(np.asarray(idx_j), idx_t)
+    rec_j = jm.apply(variables, jnp.asarray(z), method=DVAE.detokenize)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(rec_j), (0, 3, 1, 2)), rec_t,
+        rtol=2e-4, atol=2e-5)
+
+
+def test_steve_transformer_matches_reference():
+    """AR token decoder (steve_transformer.py:245-334): BOS-prepended
+    teacher-forced logits AND greedy generation — the rebuild's KV-cached
+    lax.scan generator must emit the same tokens/logits as the reference's
+    per-token re-forward loop, on converted weights."""
+    ref_st = ref_import("steve.steve_transformer")
+    from slotdiffusion_tpu.models.ar_decoder import STEVETransformerDecoder
+    from slotdiffusion_tpu.models.torch_convert import (
+        convert_torch_steve_transformer)
+
+    cfg = dict(vocab_size=24, d_model=32, n_head=4, max_len=16,
+               num_slots=5, num_layers=2)
+    torch.manual_seed(41)
+    tm = ref_st.STEVETransformerDecoder(**cfg, dropout=0.0)
+    tm.eval()
+    params = convert_torch_steve_transformer(tm.state_dict(), num_layers=2)
+    jm = STEVETransformerDecoder(**cfg)
+    init = jm.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 32)),
+                   jnp.zeros((1, 4), jnp.int32))
+    _tree_paths_match(init["params"], params)
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+    rng = np.random.RandomState(42)
+    slots = rng.randn(2, 5, 32).astype(np.float32)
+    idx = rng.randint(0, 24, size=(2, 7))
+
+    with torch.no_grad():
+        logits_t = tm(torch.tensor(slots), torch.tensor(idx)).numpy()
+    logits_j = jm.apply(variables, jnp.asarray(slots),
+                        jnp.asarray(idx, dtype=jnp.int32))
+    np.testing.assert_allclose(np.asarray(logits_j), logits_t,
+                               rtol=2e-4, atol=2e-4)
+
+    steps = 6
+    with torch.no_grad():
+        ids_t, glog_t = tm.generate(torch.tensor(slots), steps)
+    ids_j, glog_j = jm.apply(variables, jnp.asarray(slots), steps,
+                             method=STEVETransformerDecoder.generate)
+    assert np.array_equal(np.asarray(ids_j), ids_t.numpy())
+    np.testing.assert_allclose(np.asarray(glog_j), glog_t.numpy(),
+                               rtol=2e-4, atol=2e-4)
