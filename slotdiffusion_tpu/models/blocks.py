@@ -140,7 +140,7 @@ def get_norm(norm: str, dtype=jnp.float32):
     if norm in ("gn", "group_norm", "groupnorm"):
         return GroupNorm32(dtype=dtype)
     if norm in ("ln", "layer_norm", "layernorm"):
-        return nn.LayerNorm(dtype=dtype)
+        return nn.LayerNorm(epsilon=1e-5, dtype=dtype)
     raise ValueError(f"Unsupported norm: {norm!r}")
 
 
@@ -276,7 +276,7 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.pre_norm:
-            x = nn.LayerNorm(dtype=self.dtype)(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         act = get_act(self.act)
         for d in self.hidden_dims:
             x = act(nn.Dense(d, dtype=self.dtype)(x))

@@ -25,6 +25,10 @@ WEIGHTS_ENV = "SLOTDIFFUSION_DINO_WEIGHTS"
 
 
 class ViTBlock(nn.Module):
+    """LN eps 1e-6 throughout: the DINO ViT pins LayerNorm(eps=1e-6)
+    (facebook DINO vision_transformer.py; preserved in the HF
+    facebook/dino-vit* configs' layer_norm_eps)."""
+
     dim: int
     num_heads: int
     mlp_ratio: int = 4
@@ -32,11 +36,11 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype, name="attn")(h, h)
         x = x + h
-        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
         h = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype)(h)
         # exact erf gelu under f32 (torch/HF ViT default); tanh approx
         # under bf16 where its error is far below bf16 quantization and
@@ -79,7 +83,7 @@ class DINOEncoder(nn.Module):
         for i in range(depth):
             x = ViTBlock(dim=dim, num_heads=heads, dtype=self.dtype,
                          name=f"block{i}")(x)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
         # strip CLS, back to a spatial map (reference dino.py:44-54)
         x = x[:, 1:].reshape(B, h, w, dim)
         return jax.lax.stop_gradient(x)

@@ -81,7 +81,7 @@ class SAEncoder(nn.Module):
             dtype=self.dtype)(x)
         B, h, w, c = x.shape
         x = x.reshape(B, h * w, c)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.Dense(self.enc_out_channels, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Dense(self.enc_out_channels, dtype=self.dtype)(x)

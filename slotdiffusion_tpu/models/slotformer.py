@@ -53,18 +53,18 @@ class TransformerEncoderLayer(nn.Module):
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype, name="attn")
         if self.norm_first:
-            h = nn.LayerNorm(dtype=self.dtype)(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
             x = x + attn(h, h)
-            h = nn.LayerNorm(dtype=self.dtype)(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
             h = nn.Dense(self.ffn_dim, dtype=self.dtype)(h)
             h = nn.relu(h)
             h = nn.Dense(self.d_model, dtype=self.dtype)(h)
             return x + h
-        x = nn.LayerNorm(dtype=self.dtype)(x + attn(x, x))
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x + attn(x, x))
         h = nn.Dense(self.ffn_dim, dtype=self.dtype)(x)
         h = nn.relu(h)
         h = nn.Dense(self.d_model, dtype=self.dtype)(h)
-        return nn.LayerNorm(dtype=self.dtype)(x + h)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x + h)
 
 
 class _RolloutStep(nn.Module):

@@ -304,6 +304,35 @@ def convert_torch_dvae(state_dict):
     return params
 
 
+def convert_torch_slot_rollouter(state_dict, num_layers, num_heads):
+    """Reference SlotRollouter (vp_vqa/models/slotformer.py:46-135) ->
+    flax `models.slotformer.SlotRollouter` params. The sine temporal PE is
+    a frozen buffer on the torch side and recomputed on the flax side, so
+    it is not converted."""
+    sd = numpy_state_dict(state_dict)
+    step = {"in_proj": _linear(sd, "in_proj"),
+            "out_proj": _linear(sd, "out_proj")}
+    for i in range(num_layers):
+        p = f"transformer_encoder.layers.{i}"
+        step[f"layer{i}"] = {
+            "attn": _mha(sd, f"{p}.self_attn", num_heads),
+            "LayerNorm_0": _layernorm(sd, f"{p}.norm1"),
+            "LayerNorm_1": _layernorm(sd, f"{p}.norm2"),
+            "Dense_0": _linear(sd, f"{p}.linear1"),
+            "Dense_1": _linear(sd, f"{p}.linear2"),
+        }
+    return {"step": step}
+
+
+def convert_torch_physion_readout(state_dict):
+    """Reference PhysionReadout (vp_vqa/models/readout.py:12-109) -> flax
+    `models.readout.PhysionReadout` params (two linears; the pair-index
+    buffer is recomputed)."""
+    sd = numpy_state_dict(state_dict)
+    return {"linear1": _linear(sd, "linear1"),
+            "linear2": _linear(sd, "linear2")}
+
+
 def convert_torch_steve_transformer(state_dict, num_layers):
     """Reference STEVETransformerDecoder / SLATETransformerDecoder
     (steve_transformer.py:245-334) -> flax `models.ar_decoder

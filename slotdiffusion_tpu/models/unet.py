@@ -162,15 +162,15 @@ class TransformerBlock(nn.Module):
             attn_backend=self.attn_backend,
             attn_softmax=self.attn_softmax,
             dtype=self.dtype, name="attn1")(
-                nn.LayerNorm(dtype=self.dtype)(x))
+                nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x))
         x = x + CrossAttention(
             query_dim=self.dim, context_dim=self.context_dim,
             num_heads=self.num_heads, head_dim=self.head_dim,
             attn_backend=self.attn_backend,
             attn_softmax=self.attn_softmax,
             dtype=self.dtype, name="attn2")(
-                nn.LayerNorm(dtype=self.dtype)(x), context=context)
-        h = nn.LayerNorm(dtype=self.dtype)(x)
+                nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x), context=context)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         h = GEGLU(self.dim * 4, dtype=self.dtype)(h)
         h = nn.Dense(self.dim, dtype=self.dtype)(h)
         return x + h

@@ -94,6 +94,29 @@ def load_ref_package():
     return pkg
 
 
+REF_VP_MODELS = "/root/reference/slotdiffusion/vp_vqa/models"
+
+
+def load_ref_vp_package():
+    """Same as load_ref_package but over the vp_vqa models tree
+    (slotformer.py, readout.py, ldm_slotformer.py)."""
+    if "refvpmodels" in sys.modules:
+        return sys.modules["refvpmodels"]
+    _install_stubs()
+    spec = importlib.machinery.ModuleSpec(
+        "refvpmodels", None, origin=REF_VP_MODELS, is_package=True)
+    spec.submodule_search_locations = [REF_VP_MODELS]
+    pkg = importlib.util.module_from_spec(spec)
+    sys.modules["refvpmodels"] = pkg
+    return pkg
+
+
+def ref_vp_import(submodule):
+    """Import e.g. 'slotformer' under the refvpmodels package."""
+    load_ref_vp_package()
+    return importlib.import_module(f"refvpmodels.{submodule}")
+
+
 def ref_import(submodule):
     """Import e.g. 'ddpm.utils' under the refmodels package."""
     load_ref_package()

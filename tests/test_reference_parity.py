@@ -799,3 +799,139 @@ def test_steve_transformer_matches_reference():
     assert np.array_equal(np.asarray(ids_j), ids_t.numpy())
     np.testing.assert_allclose(np.asarray(glog_j), glog_t.numpy(),
                                rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# vp_vqa models (vp_vqa/models/slotformer.py, readout.py)
+# ---------------------------------------------------------------------------
+
+
+from reference_loader import ref_vp_import  # noqa: E402
+
+
+@pytest.mark.parametrize("norm_first", [True, False])
+def test_slot_rollouter_matches_reference(norm_first):
+    """SlotRollouter (slotformer.py:46-135): reversed sine temporal PE
+    repeated per slot, autoregressive window rollout — the rebuild's
+    nn.scan rollout must match the reference's Python loop of full
+    transformer forwards, over multiple predicted steps."""
+    ref_sf = ref_vp_import("slotformer")
+    from slotdiffusion_tpu.models.slotformer import SlotRollouter
+    from slotdiffusion_tpu.models.torch_convert import (
+        convert_torch_slot_rollouter)
+
+    cfg = dict(num_slots=4, slot_size=16, history_len=3, d_model=32,
+               num_layers=2, num_heads=4, ffn_dim=64,
+               norm_first=norm_first)
+    torch.manual_seed(51)
+    tm = ref_sf.SlotRollouter(**cfg)
+    tm.eval()
+    params = convert_torch_slot_rollouter(tm.state_dict(), num_layers=2,
+                                          num_heads=4)
+    jm = SlotRollouter(**cfg)
+    init = jm.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 4, 16)), 1)
+    _tree_paths_match(init["params"], params)
+
+    # the recomputed sine PE must equal the reference's frozen buffer
+    np.testing.assert_allclose(
+        np.asarray(jm.bind({"params": params}).enc_t_pe),
+        tm.enc_t_pe.detach().numpy(), rtol=1e-6, atol=1e-6)
+
+    rng = np.random.RandomState(52)
+    x = rng.randn(2, 3, 4, 16).astype(np.float32)
+    with torch.no_grad():
+        ref_y = tm(torch.tensor(x), pred_len=4).numpy()
+    y = jm.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                 jnp.asarray(x), 4)
+    np.testing.assert_allclose(np.asarray(y), ref_y, rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize("agg", ["sum", "mean", "max"])
+def test_physion_readout_matches_reference(agg):
+    """PhysionReadout (readout.py:12-109): pair-combination relation
+    linear, agg over pairs, max over time, BCE loss."""
+    ref_ro = ref_vp_import("readout")
+    from slotdiffusion_tpu.models.readout import PhysionReadout
+    from slotdiffusion_tpu.models.torch_convert import (
+        convert_torch_physion_readout)
+
+    rd = dict(num_slots=5, slot_size=16, agg_func=agg, feats_dim=24)
+    torch.manual_seed(61)
+    tm = ref_ro.PhysionReadout(readout_dict=rd)
+    tm.eval()
+    params = convert_torch_physion_readout(tm.state_dict())
+    jm = PhysionReadout(readout_dict=rd)
+
+    rng = np.random.RandomState(62)
+    slots = rng.randn(3, 6, 5, 16).astype(np.float32)
+    label = np.array([1.0, 0.0, 1.0], np.float32)
+    dd_t = {"slots": torch.tensor(slots), "label": torch.tensor(label)}
+    with torch.no_grad():
+        out_t = tm(dd_t)
+        loss_t = tm.calc_train_loss(dd_t, out_t)["vqa_loss"].item()
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+    dd_j = {"slots": jnp.asarray(slots), "label": jnp.asarray(label)}
+    out_j = jm.apply(variables, dd_j)
+    np.testing.assert_allclose(np.asarray(out_j["logits"]),
+                               out_t["logits"].numpy(), rtol=1e-5,
+                               atol=1e-6)
+    _, losses_j = jm.apply(variables, dd_j, method=jm.compute_losses)
+    np.testing.assert_allclose(float(losses_j["vqa_loss"]), loss_t,
+                               rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# segmentation metrics protocol (video_based/models/eval_utils.py)
+# ---------------------------------------------------------------------------
+
+
+def test_seg_metrics_match_reference():
+    """ARI/FG-ARI/Hungarian mIoU/fmIoU/mBO computed by the ACTUAL
+    reference eval_utils functions vs ops/metrics on the same random
+    segmentations — the evaluation protocol itself is golden-tested."""
+    ref_eval = ref_import("eval_utils")
+    from slotdiffusion_tpu.ops import metrics as M
+
+    rng = np.random.RandomState(71)
+    gt = rng.randint(0, 6, size=(4, 24, 24))
+    pred = rng.randint(0, 8, size=(4, 24, 24))
+    # make one sample partially aligned so metrics aren't degenerate
+    pred[0] = gt[0]
+    pred[1, :12] = gt[1, :12]
+
+    gt_t = torch.tensor(gt)
+    pred_t = torch.tensor(pred)
+    for name in ("ARI_metric", "fARI_metric", "miou_metric",
+                 "fmiou_metric", "mbo_metric"):
+        ref_v = getattr(ref_eval, name)(gt_t, pred_t)
+        ours_v = getattr(M, name)(gt, pred)
+        np.testing.assert_allclose(float(ours_v), float(ref_v), rtol=1e-6,
+                                   atol=1e-8, err_msg=name)
+
+
+def test_soft_position_embed_matches_reference():
+    """build_grid (linspace 0..1, ij meshgrid, [g, 1-g] concat) and
+    SoftPositionEmbed's linear projection (utils.py:37-64)."""
+    ref_utils = ref_import("utils")
+    from slotdiffusion_tpu.models.blocks import SoftPositionEmbed, build_grid
+
+    np.testing.assert_allclose(
+        np.asarray(build_grid((6, 9))),
+        ref_utils.build_grid((6, 9)).numpy(), rtol=1e-6, atol=1e-7)
+
+    torch.manual_seed(81)
+    tm = ref_utils.SoftPositionEmbed(hidden_size=5, resolution=(6, 9))
+    tm.eval()
+    from slotdiffusion_tpu.models.torch_convert import _linear, \
+        numpy_state_dict
+    params = {"Dense_0": _linear(numpy_state_dict(tm.state_dict()),
+                                 "dense")}
+    jm = SoftPositionEmbed(hidden_size=5, resolution=(6, 9))
+    rng = np.random.RandomState(82)
+    x = rng.randn(2, 5, 6, 9).astype(np.float32)
+    with torch.no_grad():
+        ref_y = tm(torch.tensor(x)).numpy()
+    y = jm.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                 jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(np.transpose(np.asarray(y), (0, 3, 1, 2)),
+                               ref_y, rtol=1e-5, atol=1e-6)
