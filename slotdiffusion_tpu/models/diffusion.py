@@ -43,6 +43,17 @@ def _extract(table, t, ndim):
     return out.reshape(t.shape[0], *([1] * (ndim - 1)))
 
 
+def _dynamic_thresholding(x0, ratio=0.995, max_val=1.0):
+    """Imagen dynamic thresholding (reference dpm_solver.py:507-517):
+    per-sample 99.5% quantile of |x0| (floored at max_val), clamp to
+    [-s, s], rescale to [-1, 1]."""
+    flat = jnp.abs(x0).reshape(x0.shape[0], -1)
+    s = jnp.quantile(flat, ratio, axis=1)
+    s = jnp.maximum(s, max_val)
+    s = s.reshape(x0.shape[0], *([1] * (x0.ndim - 1)))
+    return jnp.clip(x0, -s, s) / s
+
+
 def noise_like(rng, shape, same_noise=False, dtype=jnp.float32):
     """Batch noise; `same_noise=True` repeats one sample across the batch
     (reference ddpm/utils.py:125-129) for temporally-consistent video
@@ -203,12 +214,15 @@ class CondDDPM(nn.Module):
     # ------------------------------------------------------------------
 
     def sample_ancestral(self, rng, cond=None, batch_size=None,
-                         same_noise=False, ret_intermed=False):
-        """Full-chain ancestral sampling (cond_ddpm.py:100-132)."""
+                         same_noise=False, ret_intermed=False, x_T=None):
+        """Full-chain ancestral sampling (cond_ddpm.py:100-132).
+        `x_T` optionally pins the initial noise (reproducible eval /
+        reference-parity)."""
         B = batch_size or (cond.shape[0] if cond is not None else 1)
         shape = (B, *self.resolution, self.channels)
         rng, init_rng = jax.random.split(rng)
-        x_T = noise_like(init_rng, shape, same_noise)
+        if x_T is None:
+            x_T = noise_like(init_rng, shape, same_noise)
 
         def step(carry, t):
             x, rng = carry
@@ -238,11 +252,13 @@ class CondDDPM(nn.Module):
     # ------------------------------------------------------------------
 
     def sample_ddim(self, rng, cond=None, batch_size=None, steps=200,
-                    eta=0.0, same_noise=False, ret_intermed=False):
+                    eta=0.0, same_noise=False, ret_intermed=False,
+                    x_T=None):
         B = batch_size or (cond.shape[0] if cond is not None else 1)
         shape = (B, *self.resolution, self.channels)
         rng, init_rng = jax.random.split(rng)
-        x_T = noise_like(init_rng, shape, same_noise)
+        if x_T is None:
+            x_T = noise_like(init_rng, shape, same_noise)
 
         steps = min(steps, self.num_timesteps)  # tiny-T configs/tests
         tsteps = make_ddim_timesteps(steps, self.num_timesteps)
@@ -257,8 +273,11 @@ class CondDDPM(nn.Module):
             tb = jnp.full((B,), t, jnp.int32)
             pred = self.denoise(x, tb, context=cond)
             x0 = self._pred_to_x0(pred, x, tb)
-            x0 = self._correct_x0(x0)
+            # e_t comes from the UNCORRECTED x0 — the reference keeps the
+            # raw model eps for dir_xt and only corrects the x0 term
+            # (ddim.py:198-216)
             eps = (x - jnp.sqrt(a_t) * x0) / jnp.sqrt(1.0 - a_t)
+            x0 = self._correct_x0(x0)
             dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma ** 2, 0.0)) \
                 * eps
             noise = sigma * noise_like(step_rng, x.shape, same_noise)
@@ -283,21 +302,27 @@ class CondDDPM(nn.Module):
     # ------------------------------------------------------------------
 
     def sample_dpm(self, rng, cond=None, batch_size=None, steps=None,
-                   order=3, same_noise=False):
+                   order=3, same_noise=False, x_T=None):
         B = batch_size or (cond.shape[0] if cond is not None else 1)
         shape = (B, *self.resolution, self.channels)
-        x_T = noise_like(rng, shape, same_noise)
+        if x_T is None:
+            x_T = noise_like(rng, shape, same_noise)
         steps = steps or max(20, self.num_timesteps // 50)
 
         def model_fn(x, t_cont):
-            # continuous time in (0, 1] -> discrete index t*N - 1
-            tb = (t_cont * self.num_timesteps - 1.0)
+            # continuous time in (0, 1] -> model input time. The reference
+            # hardcodes the *1000 scale regardless of total_N
+            # (dpm_solver.py:339-346: (t - 1/total_N) * 1000), so we must too
+            # for exact parity at any timestep count.
+            tb = (t_cont - 1.0 / self.num_timesteps) * 1000.0
             tb = jnp.broadcast_to(tb, (B,))
             return self.denoise(x, tb, context=cond)
 
         correcting_fn = None
         if self.clip_denoised:
-            correcting_fn = lambda x0: jnp.clip(x0, -1.0, 1.0)
+            # In the DPM path clip_denoised=True selects Imagen dynamic
+            # thresholding, NOT a plain clamp (dpm_solver.py:495-520).
+            correcting_fn = _dynamic_thresholding
         elif self.vq_denoised:
             correcting_fn = self._vq_correct
 
@@ -315,22 +340,23 @@ class CondDDPM(nn.Module):
         raise NotImplementedError
 
     def generate_imgs(self, rng, cond=None, batch_size=None, use_dpm=False,
-                      use_ddim=False, same_noise=False, ret_intermed=False):
+                      use_ddim=False, same_noise=False, ret_intermed=False,
+                      x_T=None):
         """Sampling dispatch, matching cond_ddpm.py:134-212: DPM-Solver
         (steps=max(20, T/50), order 3) > DDIM (steps=max(200, T/5)) >
         ancestral."""
         if use_dpm:
             x = self.sample_dpm(rng, cond=cond, batch_size=batch_size,
-                                same_noise=same_noise)
+                                same_noise=same_noise, x_T=x_T)
             return (x, None) if ret_intermed else x
         if use_ddim:
             return self.sample_ddim(
                 rng, cond=cond, batch_size=batch_size,
                 steps=max(200, self.num_timesteps // 5),
-                same_noise=same_noise, ret_intermed=ret_intermed)
+                same_noise=same_noise, ret_intermed=ret_intermed, x_T=x_T)
         return self.sample_ancestral(
             rng, cond=cond, batch_size=batch_size, same_noise=same_noise,
-            ret_intermed=ret_intermed)
+            ret_intermed=ret_intermed, x_T=x_T)
 
 
 class DDPM(CondDDPM):

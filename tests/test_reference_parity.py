@@ -935,3 +935,141 @@ def test_soft_position_embed_matches_reference():
                  jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
     np.testing.assert_allclose(np.transpose(np.asarray(y), (0, 3, 1, 2)),
                                ref_y, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# CondDDPM end-to-end sampling with a real (converted) UNet
+# ---------------------------------------------------------------------------
+
+
+_DIFF_CFG = dict(pred_target="eps", timesteps=50, beta_schedule="linear",
+                 linear_start=1e-4, linear_end=2e-2, cosine_s=8e-3,
+                 log_every_t=10)
+
+
+def _build_cond_ddpm_pair(seed=91):
+    """(reference CondDDPM, flax CondDDPM, flax variables, cond, x_T)."""
+    ref_cd = ref_import("ddpm.cond_ddpm")
+    from slotdiffusion_tpu.models.diffusion import CondDDPM
+    from slotdiffusion_tpu.models.torch_convert import convert_torch_unet
+
+    torch.manual_seed(seed)
+    tm = ref_cd.CondDDPM(
+        resolution=(16, 16), unet_dict=dict(_UNET_CFG), use_ema=False,
+        diffusion_dict=dict(_DIFF_CFG), conditioning_key="crossattn")
+    tm.eval()
+    with torch.no_grad():
+        for name, p in tm.named_parameters():
+            if p.abs().max() == 0:
+                p.copy_(torch.randn_like(p) * 0.02)
+
+    unet_sd = {k[len("model.diffusion_model."):]: v
+               for k, v in tm.state_dict().items()
+               if k.startswith("model.diffusion_model.")}
+    params = convert_torch_unet(
+        unet_sd, num_res_blocks=_UNET_CFG["num_res_blocks"],
+        channel_mult=_UNET_CFG["channel_mult"],
+        attention_resolutions=_UNET_CFG["attention_resolutions"])
+    jm = CondDDPM(resolution=(16, 16),
+                  unet_dict=dict(_UNET_CFG, attn_softmax="stable"),
+                  diffusion_dict=dict(_DIFF_CFG),
+                  conditioning_key="crossattn")
+    variables = {"params": {"unet": jax.tree_util.tree_map(jnp.asarray,
+                                                           params)}}
+    rng = np.random.RandomState(seed + 1)
+    cond = rng.randn(2, 5, 24).astype(np.float32)
+    x_T = rng.randn(2, 3, 16, 16).astype(np.float32)
+    return tm, jm, variables, cond, x_T
+
+
+def _fixed_noise_like(x_T_t):
+    """noise_like replacement: first call returns the pinned x_T, later
+    calls (per-step ancestral noise) return zeros."""
+    calls = {"n": 0}
+
+    def fn(shape, device, repeat=False):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            assert tuple(shape) == tuple(x_T_t.shape)
+            return x_T_t.clone()
+        return torch.zeros(shape)
+
+    return fn
+
+
+def test_cond_ddpm_dpm_sampling_matches_reference(monkeypatch):
+    """Full eval-time fast-sampling path: reference CondDDPM.generate_imgs
+    (use_dpm=True -> NoiseScheduleVP + model_wrapper + DPM-Solver++ order-3
+    singlestep, 20 steps, clip-denoised correction) vs sample_dpm with the
+    SAME converted UNet weights and the same x_T."""
+    ref_cd = ref_import("ddpm.cond_ddpm")
+    from slotdiffusion_tpu.models.diffusion import CondDDPM
+
+    tm, jm, variables, cond, x_T = _build_cond_ddpm_pair()
+    monkeypatch.setattr(ref_cd, "noise_like",
+                        _fixed_noise_like(torch.tensor(x_T)))
+    with torch.no_grad():
+        ref_x = tm.generate_imgs(cond=torch.tensor(cond), batch_size=2,
+                                 use_dpm=True, verbose=False).numpy()
+
+    x = jm.apply(variables, jax.random.PRNGKey(0), cond=jnp.asarray(cond),
+                 batch_size=2, use_dpm=True,
+                 x_T=jnp.asarray(np.transpose(x_T, (0, 2, 3, 1))),
+                 method=CondDDPM.generate_imgs)
+    np.testing.assert_allclose(np.transpose(np.asarray(x), (0, 3, 1, 2)),
+                               ref_x, rtol=5e-3, atol=5e-4)
+
+
+def test_cond_ddpm_ddim_sampling_matches_reference(monkeypatch):
+    """DDIM eta=0 sampling (ddim.py:90-218) end-to-end on converted
+    weights: deterministic given x_T, so trajectories must agree."""
+    ref_cd = ref_import("ddpm.cond_ddpm")
+    ref_ddim = ref_import("ddpm.ddim")
+    from slotdiffusion_tpu.models.diffusion import CondDDPM
+
+    tm, jm, variables, cond, x_T = _build_cond_ddpm_pair(seed=93)
+    # the reference sampler force-moves buffers to CUDA (ddim.py:31-35);
+    # keep them on CPU for the golden run
+    monkeypatch.setattr(ref_ddim.DDIMSampler, "register_buffer",
+                        lambda self, name, attr: setattr(self, name, attr))
+    monkeypatch.setattr(ref_ddim, "noise_like",
+                        _fixed_noise_like(torch.tensor(x_T)))
+    sampler = ref_ddim.DDIMSampler(tm, schedule=tm.beta_schedule)
+    with torch.no_grad():
+        ref_x, _ = sampler.generate_imgs(
+            10, (2, 3, 16, 16), conditioning=torch.tensor(cond),
+            verbose=False)
+    ref_x = ref_x.numpy()
+
+    x = jm.apply(variables, jax.random.PRNGKey(0), cond=jnp.asarray(cond),
+                 steps=10, x_T=jnp.asarray(np.transpose(x_T, (0, 2, 3, 1))),
+                 method=CondDDPM.sample_ddim)
+    np.testing.assert_allclose(np.transpose(np.asarray(x), (0, 3, 1, 2)),
+                               ref_x, rtol=5e-3, atol=5e-4)
+
+
+def test_cond_ddpm_ancestral_sampling_matches_reference(monkeypatch):
+    """Ancestral p-sampling over the full 50-step chain with zero per-step
+    noise (both sides), pinned x_T: exercises _p_sample's posterior
+    mean/variance math and clip-denoised correction at every step."""
+    ref_cd = ref_import("ddpm.cond_ddpm")
+    import slotdiffusion_tpu.models.diffusion as jdiff
+    from slotdiffusion_tpu.models.diffusion import CondDDPM
+
+    tm, jm, variables, cond, x_T = _build_cond_ddpm_pair(seed=95)
+    monkeypatch.setattr(ref_cd, "noise_like",
+                        _fixed_noise_like(torch.tensor(x_T)))
+    monkeypatch.setattr(
+        jdiff, "noise_like",
+        lambda rng, shape, same_noise=False, dtype=jnp.float32:
+        jnp.zeros(shape, dtype))
+    with torch.no_grad():
+        ref_x = tm.generate_imgs(cond=torch.tensor(cond), batch_size=2,
+                                 verbose=False).numpy()
+
+    x = jm.apply(variables, jax.random.PRNGKey(0), cond=jnp.asarray(cond),
+                 batch_size=2,
+                 x_T=jnp.asarray(np.transpose(x_T, (0, 2, 3, 1))),
+                 method=CondDDPM.generate_imgs)
+    np.testing.assert_allclose(np.transpose(np.asarray(x), (0, 3, 1, 2)),
+                               ref_x, rtol=5e-3, atol=5e-4)
