@@ -4,6 +4,12 @@ Analog of reference test_comp_gen.py: encode slots, then cyclically shift
 each slot index across the batch (slot k comes from sample (b + k) % B,
 test_comp_gen.py:25-31) to compose novel scenes, decode with the diffusion
 decoder, and dump frames for external FID/FVD.
+
+With `--fid` (and `SLOTDIFFUSION_INCEPTION_WEIGHTS` pointing at a
+converted InceptionV3 npz, see ops/fid.py) the FID between composed and
+real frames is additionally computed natively on-device — a capability
+the reference defers to the external `pytorch-fid` tool
+(docs/img_based.md:82-84).
 """
 
 import argparse
@@ -32,6 +38,9 @@ def main():
     parser.add_argument("--bs", type=int, default=-1)
     parser.add_argument("--out_dir", default="comp_gen_frames")
     parser.add_argument("--max_batches", type=int, default=-1)
+    parser.add_argument("--fid", action="store_true",
+                        help="also compute FID natively (needs "
+                             "SLOTDIFFUSION_INCEPTION_WEIGHTS)")
     args = parser.parse_args()
 
     import jax
@@ -83,6 +92,21 @@ def main():
         return model.apply(variables, jnp.asarray(flat),
                            method=lambda m, s: m.decode(s)[0])
 
+    fid_stats = None
+    if args.fid:
+        from slotdiffusion_tpu.ops import fid as fid_mod
+        if not fid_mod.inception_available():
+            print(f"WARNING: --fid requested but {fid_mod.WEIGHTS_ENV} "
+                  f"is unset/missing; skipping native FID")
+        else:
+            feat_fn = jax.jit(fid_mod.inception_pool3_features)
+            fid_stats = (fid_mod.FeatureStats(), fid_mod.FeatureStats())
+
+    def _accumulate_fid(stats, frames01):
+        frames = frames01.reshape(-1, *frames01.shape[-3:])
+        stats.update(np.asarray(jax.device_get(
+            feat_fn(jnp.asarray(frames)))))
+
     out_dir = mkdir_or_exist(args.out_dir)
     count = 0
     for i, np_batch in enumerate(loader):
@@ -94,10 +118,21 @@ def main():
         slots = shuffle_slots(slots)
         samples = np.asarray(jax.device_get(decode(slots, rng)))
         x = np.clip(samples * 0.5 + 0.5, 0, 1)
+        if fid_stats is not None:
+            _accumulate_fid(fid_stats[0], x)
+            _accumulate_fid(
+                fid_stats[1],
+                np.clip(np.asarray(np_batch["img"]) * 0.5 + 0.5, 0, 1))
         for b in range(x.shape[0]):
             save_image(x[b], os.path.join(out_dir, f"{count:06d}.png"))
             count += 1
         print(f"[{i}/{len(loader)}] wrote {count} frames")
+    if fid_stats is not None:
+        from slotdiffusion_tpu.ops.fid import frechet_distance
+        fid = frechet_distance(*fid_stats[0].finalize(),
+                               *fid_stats[1].finalize())
+        print(f"native FID (composed vs real, {fid_stats[0].n} vs "
+              f"{fid_stats[1].n} frames): {fid:.3f}")
     print(f"DONE: {count} composed frames in {out_dir} "
           f"(run external FID/FVD on them)")
 
