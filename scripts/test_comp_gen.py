@@ -41,6 +41,9 @@ def main():
     parser.add_argument("--fid", action="store_true",
                         help="also compute FID natively (needs "
                              "SLOTDIFFUSION_INCEPTION_WEIGHTS)")
+    parser.add_argument("--fvd", action="store_true",
+                        help="also compute FVD natively on video clips "
+                             "(needs SLOTDIFFUSION_I3D_WEIGHTS)")
     args = parser.parse_args()
 
     import jax
@@ -102,10 +105,25 @@ def main():
             feat_fn = jax.jit(fid_mod.inception_pool3_features)
             fid_stats = (fid_mod.FeatureStats(), fid_mod.FeatureStats())
 
+    fvd_stats = None
+    if args.fvd:
+        from slotdiffusion_tpu.ops import fvd as fvd_mod
+        if not fvd_mod.i3d_available():
+            print(f"WARNING: --fvd requested but {fvd_mod.WEIGHTS_ENV} "
+                  f"is unset/missing; skipping native FVD")
+        else:
+            i3d_fn = jax.jit(fvd_mod.i3d_features)
+            fvd_stats = (fvd_mod.FeatureStats(400),
+                         fvd_mod.FeatureStats(400))
+
     def _accumulate_fid(stats, frames01):
         frames = frames01.reshape(-1, *frames01.shape[-3:])
         stats.update(np.asarray(jax.device_get(
             feat_fn(jnp.asarray(frames)))))
+
+    def _accumulate_fvd(stats, clips01):
+        stats.update(np.asarray(jax.device_get(
+            i3d_fn(jnp.asarray(clips01)))))
 
     out_dir = mkdir_or_exist(args.out_dir)
     count = 0
@@ -118,11 +136,19 @@ def main():
         slots = shuffle_slots(slots)
         samples = np.asarray(jax.device_get(decode(slots, rng)))
         x = np.clip(samples * 0.5 + 0.5, 0, 1)
+        real = np.clip(np.asarray(np_batch["img"]) * 0.5 + 0.5, 0, 1)
         if fid_stats is not None:
             _accumulate_fid(fid_stats[0], x)
-            _accumulate_fid(
-                fid_stats[1],
-                np.clip(np.asarray(np_batch["img"]) * 0.5 + 0.5, 0, 1))
+            _accumulate_fid(fid_stats[1], real)
+        if fvd_stats is not None and real.ndim == 5:
+            if real.shape[1] < 9:
+                if i == 0:
+                    print(f"WARNING: clips have T={real.shape[1]} < 9 "
+                          f"frames; I3D needs >= 9, skipping native FVD")
+            else:
+                # x is B*T flat frames for video models; fold to clips
+                _accumulate_fvd(fvd_stats[0], x.reshape(real.shape))
+                _accumulate_fvd(fvd_stats[1], real)
         for b in range(x.shape[0]):
             save_image(x[b], os.path.join(out_dir, f"{count:06d}.png"))
             count += 1
@@ -133,6 +159,12 @@ def main():
                                *fid_stats[1].finalize())
         print(f"native FID (composed vs real, {fid_stats[0].n} vs "
               f"{fid_stats[1].n} frames): {fid:.3f}")
+    if fvd_stats is not None and fvd_stats[0].n:
+        from slotdiffusion_tpu.ops.fid import frechet_distance
+        fvd = frechet_distance(*fvd_stats[0].finalize(),
+                               *fvd_stats[1].finalize())
+        print(f"native FVD (composed vs real, {fvd_stats[0].n} vs "
+              f"{fvd_stats[1].n} clips): {fvd:.3f}")
     print(f"DONE: {count} composed frames in {out_dir} "
           f"(run external FID/FVD on them)")
 
