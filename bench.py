@@ -97,7 +97,7 @@ def main():
     float(chain(params, x, t, ctx, 1))
     float(chain(params, x, t, ctx, ITERS + 1))
 
-    def best(iters, tries=4):
+    def best(iters, tries=6):
         ts = []
         for _ in range(tries):
             t0 = time.perf_counter()
