@@ -6,6 +6,11 @@ diffusion models with `same_noise=True` for temporal consistency,
 test_recon.py:24-44), compute MSE/PSNR/SSIM (+LPIPS when VGG weights are
 available), dump frames for external FID/FVD, with per-batch resumable
 metric caching (test_recon.py:74-88).
+
+With `--fid` / `--fvd` (and converted InceptionV3 / I3D weight npz files,
+see ops/fid.py and ops/fvd.py) the recon-vs-GT FID/FVD are additionally
+computed natively on-device; per-batch features join the resumable cache
+so interrupted runs keep their Frechet statistics too.
 """
 
 import argparse
@@ -26,6 +31,12 @@ def main():
     parser.add_argument("--save_video", action="store_true",
                         help="dump decoded frames for FID/FVD")
     parser.add_argument("--out_dir", default="")
+    parser.add_argument("--fid", action="store_true",
+                        help="native FID vs GT frames (needs "
+                             "SLOTDIFFUSION_INCEPTION_WEIGHTS)")
+    parser.add_argument("--fvd", action="store_true",
+                        help="native FVD vs GT clips (video models, "
+                             "needs SLOTDIFFUSION_I3D_WEIGHTS)")
     args = parser.parse_args()
 
     import jax
@@ -72,6 +83,20 @@ def main():
                                method=model.recon_img)
         raise ValueError(params.model)
 
+    fid_fn = fvd_fn = None
+    if args.fid:
+        from slotdiffusion_tpu.ops import fid as fid_mod
+        if fid_mod.inception_available():
+            fid_fn = jax.jit(fid_mod.inception_pool3_features)
+        else:
+            print(f"WARNING: --fid needs {fid_mod.WEIGHTS_ENV}; skipping")
+    if args.fvd:
+        from slotdiffusion_tpu.ops import fvd as fvd_mod
+        if fvd_mod.i3d_available():
+            fvd_fn = jax.jit(fvd_mod.i3d_features)
+        else:
+            print(f"WARNING: --fvd needs {fvd_mod.WEIGHTS_ENV}; skipping")
+
     # resumable per-batch metric cache (test_recon.py:74-88)
     cache_path = os.path.join(
         args.out_dir or "eval_cache",
@@ -90,6 +115,14 @@ def main():
             # to [0, 1]
             x = np.clip(samples * 0.5 + 0.5, 0, 1)
             y = np.clip(gt * 0.5 + 0.5, 0, 1)
+            fvd_feats = None
+            if fvd_fn is not None and is_video and x.ndim == 5:
+                if x.shape[1] < 9:
+                    print(f"WARNING: T={x.shape[1]} < 9; I3D needs >= 9, "
+                          f"skipping FVD")
+                else:
+                    fvd_feats = (np.asarray(jax.device_get(fvd_fn(x))),
+                                 np.asarray(jax.device_get(fvd_fn(y))))
             if is_video:  # fold T into batch for image metrics
                 x = x.reshape(-1, *x.shape[2:])
                 y = y.reshape(-1, *y.shape[2:])
@@ -105,6 +138,14 @@ def main():
                 results["lpips"] = float(np.mean(np.asarray(
                     lpips_distance(jnp.asarray(x * 2 - 1),
                                    jnp.asarray(y * 2 - 1)))))
+            # cache raw features (not stats) so resumed runs rebuild
+            # exact Frechet statistics; "_"-prefixed keys skip the meters
+            if fid_fn is not None:
+                results["_fid"] = (
+                    np.asarray(jax.device_get(fid_fn(x))),
+                    np.asarray(jax.device_get(fid_fn(y))))
+            if fvd_feats is not None:
+                results["_fvd"] = fvd_feats
             if args.save_video:
                 out_dir = mkdir_or_exist(os.path.join(
                     args.out_dir or "eval_frames",
@@ -116,11 +157,24 @@ def main():
             dump_obj(cache, cache_path)
         n = np_batch["img"].shape[0]
         for k, v in results.items():
-            meters.setdefault(k, AverageMeter()).update(v, n)
+            if not k.startswith("_"):
+                meters.setdefault(k, AverageMeter()).update(v, n)
         print(f"[{i}/{len(loader)}] " + " ".join(
             f"{k}={m.avg:.4f}" for k, m in meters.items()))
-    print("FINAL " + " ".join(f"{k}={m.avg:.4f}"
-                              for k, m in meters.items()))
+    final = {k: m.avg for k, m in meters.items()}
+    for key, name in (("_fid", "fid"), ("_fvd", "fvd")):
+        pairs = [r[key] for r in cache.values() if key in r]
+        if pairs:
+            from slotdiffusion_tpu.ops.fid import FeatureStats, \
+                frechet_distance
+            dim = pairs[0][0].shape[1]
+            gen, real = FeatureStats(dim), FeatureStats(dim)
+            for g, r in pairs:
+                gen.update(g)
+                real.update(r)
+            final[name] = frechet_distance(*gen.finalize(),
+                                           *real.finalize())
+    print("FINAL " + " ".join(f"{k}={v:.4f}" for k, v in final.items()))
 
 
 if __name__ == "__main__":
