@@ -1,9 +1,12 @@
 """Roll out future slots on Physion with a trained SlotFormer.
 
 Analog of reference vp_vqa/rollout_physion_slots.py: burn in the first 45
-observed frames, autoregressively roll out the remaining 105, interleaving
-rollouts started at each frame offset (:18, :39-63), and save
-{split: {video_name: [T, N, C]}} pkl for readout training.
+observed frames (1.5s at 30FPS, :18), autoregressively roll out the
+remaining 105, and save {split: {video_name: [T, N, C]}} pkl for readout
+training. For models trained with `frame_offset` k > 1 the reference
+rolls out k strided sub-sequences and re-interleaves them into
+consecutive frames (:41-56); that logic lives in
+`slotdiffusion_tpu.methods.inference.interleaved_rollout`.
 """
 
 import argparse
@@ -22,12 +25,17 @@ def main():
     parser.add_argument("--weight", required=True)
     parser.add_argument("--save_path", required=True)
     parser.add_argument("--bs", type=int, default=16)
+    parser.add_argument("--obs_frames", type=int, default=OBS_FRAMES,
+                        help="burn-in frames (reference: 45 = 1.5s@30FPS;"
+                             " override for synthetic-scale smoke drives)")
     args = parser.parse_args()
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from slotdiffusion_tpu.data import DataLoader, build_dataset
+    from slotdiffusion_tpu.methods.inference import interleaved_rollout
     from slotdiffusion_tpu.models import build_model
     from slotdiffusion_tpu.training.checkpoint import load_model_params
     from slotdiffusion_tpu.utils import dump_obj, load_params
@@ -36,14 +44,18 @@ def main():
     model = build_model(params)
     variables = load_model_params(model, args.weight, params)
     history_len = params.rollout_dict["history_len"]
-    video_len = params.get("video_len", 150)
-    pred_len = video_len - OBS_FRAMES
+    frame_offset = int(params.get("frame_offset", 1))
 
-    @jax.jit
-    def rollout_fn(past_slots):
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def rollout_jit(past_slots, pred_len):
         return model.apply(
             variables, past_slots, pred_len,
             method=model.rollout)
+
+    def rollout_fn(past, pred_len):
+        return jax.device_get(rollout_jit(jnp.asarray(past), pred_len))
 
     all_out = {}
     for split in ("train", "val", "test"):
@@ -59,11 +71,9 @@ def main():
                             num_workers=params.get("num_workers", 4))
         split_out = {}
         for i, batch in enumerate(loader):
-            slots = np.asarray(batch["slots"])  # [B, T, N, C]
-            obs = slots[:, :OBS_FRAMES]
-            pred = np.asarray(jax.device_get(rollout_fn(
-                obs[:, -history_len:])))  # [B, pred_len, N, C]
-            full = np.concatenate([obs, pred], axis=1)
+            full = interleaved_rollout(
+                np.asarray(batch["slots"]), rollout_fn,
+                args.obs_frames, history_len, frame_offset)
             for b, data_idx in enumerate(np.asarray(batch["data_idx"])):
                 name = os.path.basename(ds.files[int(data_idx)]) \
                     if hasattr(ds, "files") else str(int(data_idx))

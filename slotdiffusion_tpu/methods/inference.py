@@ -55,3 +55,43 @@ def chunked_video_apply(apply_fn, img, clip_len, carry_key="slots",
         prev = out[carry_key][:, -1]
     return {k: np.concatenate([o[k] for o in gathered], axis=1)
             for k in gathered[0]}
+
+
+def interleaved_rollout(slots, rollout_fn, obs_frames, history_len,
+                        frame_offset):
+    """Frame-offset-interleaved slot rollout (vp_vqa/rollout_physion_slots
+    .py:39-56).
+
+    `slots`: [B, T, N, C] full-video GT slots. For a model trained with
+    `frame_offset` k, the reference rolls out k strided subsequences
+    ([s, s+k, s+2k, ...] for each offset, where s places exactly
+    `history_len` observed frames before the first predicted one) and
+    re-interleaves the per-offset predictions into consecutive frames.
+    `rollout_fn(past [B, history_len, N, C], pred_len) -> [B, pred_len,
+    N, C]` is the jitted SlotFormer rollout; all offsets share one
+    compiled shape. Returns [B, T, N, C]: observed burn-in frames
+    followed by predicted frames.
+    """
+    video_len = slots.shape[1]
+    total_pred = video_len - obs_frames
+    assert total_pred > 0, (
+        f"video_len={video_len} <= obs_frames={obs_frames}")
+    obs = slots[:, :obs_frames]
+    if frame_offset == 1:
+        pred = np.asarray(rollout_fn(obs[:, -history_len:], total_pred))
+    else:
+        all_pred = []
+        for off in range(frame_offset):
+            start = obs_frames - history_len * frame_offset + off
+            assert start >= 0, (
+                f"obs_frames={obs_frames} too short for history_len="
+                f"{history_len} x frame_offset={frame_offset}")
+            in_slots = slots[:, start::frame_offset]
+            past = in_slots[:, :history_len]
+            pred_len = in_slots.shape[1] - history_len
+            all_pred.append(np.asarray(rollout_fn(past, pred_len)))
+        pred = np.stack([
+            all_pred[i % frame_offset][:, i // frame_offset]
+            for i in range(total_pred)
+        ], axis=1)
+    return np.concatenate([obs, pred], axis=1)

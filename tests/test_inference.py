@@ -65,3 +65,71 @@ def test_keys_filter():
     img = np.zeros((1, 4, 4, 4, 3), np.float32)
     out = chunked_video_apply(_make_apply([]), img, 2, keys=("slots",))
     assert set(out) == {"slots"}
+
+
+class _MockRollout:
+    """pred[b, j] = past[b, -1] + (j+1) * stride-marker.
+
+    Marks each prediction with the gap between its past frames so the
+    interleave test can verify which strided subsequence produced it.
+    """
+
+    def __init__(self):
+        self.calls = []
+
+    def __call__(self, past, pred_len):
+        self.calls.append((past.shape, pred_len))
+        B, H, N, C = past.shape
+        stride = past[:, -1] - past[:, -2]  # constant for arange inputs
+        steps = np.arange(1, pred_len + 1).reshape(1, pred_len, 1, 1)
+        return past[:, -1:] + steps * stride[:, None]
+
+
+def test_interleaved_rollout_offset1_matches_plain():
+    from slotdiffusion_tpu.methods.inference import interleaved_rollout
+    B, T, N, C = 2, 10, 3, 4
+    slots = np.arange(T, dtype=np.float32).reshape(1, T, 1, 1) * np.ones(
+        (B, T, N, C), np.float32)
+    fn = _MockRollout()
+    out = interleaved_rollout(slots, fn, obs_frames=6, history_len=4,
+                              frame_offset=1)
+    assert out.shape == (B, T, N, C)
+    # obs part is GT; pred continues the arithmetic sequence exactly
+    np.testing.assert_allclose(out, slots)
+    assert fn.calls == [((B, 4, N, C), 4)]
+
+
+def test_interleaved_rollout_offset3_reference_semantics():
+    """frame_offset=3 reproduces rollout_physion_slots.py:41-56: offset k
+    rollouts see strided pasts [start::3] and predictions interleave back
+    to consecutive frames."""
+    from slotdiffusion_tpu.methods.inference import interleaved_rollout
+    B, N, C = 1, 2, 2
+    T, obs, hist, off = 24, 9, 3, 3
+    slots = np.arange(T, dtype=np.float32).reshape(1, T, 1, 1) * np.ones(
+        (B, T, N, C), np.float32)
+    fn = _MockRollout()
+    out = interleaved_rollout(slots, fn, obs_frames=obs, history_len=hist,
+                              frame_offset=off)
+    assert out.shape == (B, T, N, C)
+    # each strided subsequence has constant stride 3, so the mock's
+    # prediction continues the GT sequence exactly -> interleave is exact
+    np.testing.assert_allclose(out, slots)
+    # three calls, one per offset; past always [B, hist, N, C], and the
+    # strided subsequences start at obs - hist*off + off_idx = 0, 1, 2
+    assert [c[0] for c in fn.calls] == [(B, hist, N, C)] * off
+    assert [c[1] for c in fn.calls] == [
+        len(range(s, T, off)) - hist for s in (0, 1, 2)]
+
+
+def test_interleaved_rollout_ragged_offsets():
+    """When total_pred isn't divisible by frame_offset, later offsets
+    predict one fewer frame and the interleave still lines up."""
+    from slotdiffusion_tpu.methods.inference import interleaved_rollout
+    B, N, C = 1, 1, 1
+    T, obs, hist, off = 13, 6, 2, 2  # total_pred=7 -> per-offset 4 and 3
+    slots = np.arange(T, dtype=np.float32).reshape(1, T, 1, 1) * np.ones(
+        (B, T, N, C), np.float32)
+    out = interleaved_rollout(slots, _MockRollout(), obs_frames=obs,
+                              history_len=hist, frame_offset=off)
+    np.testing.assert_allclose(out, slots)
