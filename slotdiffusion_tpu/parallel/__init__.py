@@ -6,8 +6,12 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
 )
+from .tp import param_spec, tp_param_count, train_state_shardings
 
 __all__ = [
+    "param_spec",
+    "tp_param_count",
+    "train_state_shardings",
     "make_mesh",
     "get_mesh",
     "batch_sharding",

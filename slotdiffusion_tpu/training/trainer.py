@@ -230,9 +230,18 @@ class Trainer:
             ema=ema,
             rng=rng,
         )
-        # replicate across the mesh
-        rep = replicated_sharding(self.mesh)
-        return jax.device_put(state, rep)
+        # lay the state out over the mesh: replicated on a pure-data mesh;
+        # TP param leaves (and their mirrored optimizer/EMA buffers) shard
+        # over the `model` axis when it is >1 (parallel/tp.py rules)
+        return jax.device_put(state, self._state_shardings(state))
+
+    def _state_shardings(self, state):
+        """Sharding tree for a TrainState over self.mesh (cached per
+        tree structure via the first call — structures don't change)."""
+        if self.mesh.shape.get("model", 1) == 1:
+            return replicated_sharding(self.mesh)
+        from ..parallel.tp import train_state_shardings
+        return train_state_shardings(state, self.mesh)
 
     def _sched_dict(self, step):
         return {k: fn(step) for k, fn in self.step_scalars.items()} or None
@@ -322,20 +331,21 @@ class Trainer:
 
         rep = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
+        state_sh = self._state_shardings(self.state)
         self._train_step = jax.jit(
             train_step,
-            in_shardings=(rep, data),
-            out_shardings=(rep, rep),
+            in_shardings=(state_sh, data),
+            out_shardings=(state_sh, rep),
             donate_argnums=(0,),
         )
         self._eval_step = jax.jit(
-            eval_step, in_shardings=(rep, data, rep),
+            eval_step, in_shardings=(state_sh, data, rep),
             out_shardings=(rep, rep))
         # ragged final val batches (drop_last=False) can't be laid out over
         # the data axis; they run through this replicated-input twin instead
         # (one extra compile at the fixed remainder shape, exact averages)
         self._eval_step_rep = jax.jit(
-            eval_step, in_shardings=(rep, rep, rep),
+            eval_step, in_shardings=(state_sh, rep, rep),
             out_shardings=(rep, rep))
 
     # ------------------------------------------------------------------
@@ -358,7 +368,7 @@ class Trainer:
         abstract = jax.device_get(self.state)
         restored = ckptr.restore(os.path.abspath(path), abstract)
         self.state = jax.device_put(restored,
-                                    replicated_sharding(self.mesh))
+                                    self._state_shardings(restored))
 
     # ------------------------------------------------------------------
     # loops
