@@ -26,6 +26,10 @@ def main():
                         help="bf16 compute (the fp16/AMP analog)")
     parser.add_argument("--cpu", action="store_true",
                         help="force CPU backend (debug)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="model-axis size of the (data, model) mesh: "
+                             "tensor-parallel attention/FFN shardings "
+                             "(parallel/tp.py) on top of data parallelism")
     parser.add_argument("--san_check_val_step", type=int, default=2)
     parser.add_argument("--max_steps", type=int, default=-1,
                         help="cap total optimizer steps (smoke tests)")
@@ -83,9 +87,13 @@ def main():
     ckp_path = args.ckp_path or os.path.join(
         "checkpoint",
         os.path.splitext(os.path.basename(args.params))[0])
+    mesh = None
+    if args.tp > 1:
+        from slotdiffusion_tpu.parallel import make_mesh
+        mesh = make_mesh(model=args.tp)
     method = build_method(
         model=model, datamodule=datamodule, params=params,
-        ckp_path=ckp_path)
+        ckp_path=ckp_path, mesh=mesh)
 
     print(f"devices: {jax.devices()}")
     print(f"training {params.model} for {params.max_epochs} epochs "

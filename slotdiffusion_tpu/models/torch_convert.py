@@ -19,11 +19,17 @@ import numpy as np
 
 
 def numpy_state_dict(state_dict) -> Dict[str, np.ndarray]:
-    """Detach a torch state_dict to {name: float64-preserving np.ndarray}."""
+    """Detach a torch state_dict to {name: float64-preserving np.ndarray}.
+
+    COPIES every tensor: `Tensor.numpy()` shares storage with the live
+    module, so without the copy an `optimizer.step()` (or any in-place
+    torch op) would silently mutate the converted tree — transposed
+    kernels are numpy views and alias just the same.
+    """
     out = {}
     for k, v in state_dict.items():
-        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") \
-            else np.asarray(v)
+        out[k] = np.array(v.detach().cpu().numpy()) if hasattr(v, "detach") \
+            else np.array(v)
     return out
 
 
