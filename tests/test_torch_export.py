@@ -1,0 +1,224 @@
+"""Flax -> torch export roundtrip: `models/torch_export.py` must be the
+exact inverse of `models/torch_convert.py`.
+
+For each exportable family, build the REFERENCE torch module with random
+weights, convert its state_dict to a flax tree, export the tree back, and
+assert:
+
+1. completeness — every torch *parameter* (`named_parameters`) appears in
+   the exported dict (a forgotten key would silently load-back as random
+   init under `strict=False`); frozen buffers (sine PEs, causal masks,
+   pair-index tables) are recomputed on the flax side and legitimately
+   absent;
+2. exactness — every exported array is bit-identical to the original
+   state_dict entry (the mappings are pure transposes/reshapes/slices, so
+   the roundtrip is lossless);
+3. load-back — `load_state_dict(strict=False)` on a freshly-initialized
+   reference module reports no unexpected keys.
+
+Together with tests/test_reference_parity.py (converted weights produce
+matching forwards), this proves a TPU-trained checkpoint exported through
+these functions runs identically under the reference's torch code.
+"""
+
+import numpy as np
+import pytest
+
+from reference_loader import ref_import, ref_vp_import
+
+pytestmark = pytest.mark.fast
+
+torch = pytest.importorskip("torch")
+
+from slotdiffusion_tpu.models import torch_convert as tc  # noqa: E402
+from slotdiffusion_tpu.models import torch_export as te  # noqa: E402
+
+
+def _roundtrip(tm, tree, exported):
+    sd = {k: np.array(v.detach().cpu().numpy())
+          for k, v in tm.state_dict().items()}
+    # requires_grad=False parameters are frozen constants the reference
+    # registers as Parameters (causal masks, sine PEs); the flax side
+    # recomputes them (equality asserted in test_reference_parity) and the
+    # torch ctor re-creates them on load, so they need not be exported
+    param_names = {n for n, p in tm.named_parameters() if p.requires_grad}
+    missing = param_names - set(exported)
+    assert not missing, f"parameters not exported: {sorted(missing)}"
+    for k, v in exported.items():
+        assert k in sd, f"exported key {k} unknown to the reference module"
+        np.testing.assert_array_equal(
+            v, sd[k], err_msg=f"roundtrip mismatch at {k}")
+    return sd
+
+
+def _load_back(tm_fresh, exported):
+    res = tm_fresh.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in exported.items()}, strict=False)
+    assert not res.unexpected_keys, res.unexpected_keys
+    # anything missing must be a frozen constant (buffer or
+    # requires_grad=False Parameter) the torch ctor re-creates
+    trainable = {n for n, p in tm_fresh.named_parameters()
+                 if p.requires_grad}
+    assert not (set(res.missing_keys) & trainable)
+
+
+def test_unet_export_roundtrip():
+    ref_unet = ref_import("unet.unet")
+    cfg = dict(in_channels=3, model_channels=32, out_channels=3,
+               num_res_blocks=1, attention_resolutions=(1, 2),
+               channel_mult=(1, 2), num_head_channels=16, context_dim=24)
+    for updown in (False, True):
+        torch.manual_seed(0)
+        tm = ref_unet.UNetModel(resblock_updown=updown, **cfg)
+        tree = tc.convert_torch_unet(
+            tm.state_dict(), num_res_blocks=1, channel_mult=(1, 2),
+            attention_resolutions=(1, 2), resblock_updown=updown)
+        out = te.export_torch_unet(
+            tree, num_res_blocks=1, channel_mult=(1, 2),
+            attention_resolutions=(1, 2), resblock_updown=updown)
+        _roundtrip(tm, tree, out)
+        _load_back(ref_unet.UNetModel(resblock_updown=updown, **cfg), out)
+
+        # flax-side roundtrip: convert(export(tree)) is tree, leaf-exact
+        tree2 = tc.convert_torch_unet(
+            out, num_res_blocks=1, channel_mult=(1, 2),
+            attention_resolutions=(1, 2), resblock_updown=updown)
+        import jax
+        leaves1 = jax.tree_util.tree_leaves_with_path(tree)
+        leaves2 = jax.tree_util.tree_leaves_with_path(tree2)
+        assert len(leaves1) == len(leaves2)
+        for (p1, l1), (p2, l2) in zip(leaves1, leaves2):
+            assert p1 == p2
+            np.testing.assert_array_equal(l1, l2)
+
+
+def test_slot_attention_export_roundtrip():
+    ref_savi = ref_import("savi")
+    torch.manual_seed(1)
+    tm = ref_savi.SlotAttention(in_features=48, num_iterations=3,
+                                num_slots=5, slot_size=32,
+                                mlp_hidden_size=64)
+    tree = tc.convert_torch_slot_attention(tm.state_dict())
+    out = te.export_torch_slot_attention(tree)
+    _roundtrip(tm, tree, out)
+    _load_back(ref_savi.SlotAttention(in_features=48, num_iterations=3,
+                                      num_slots=5, slot_size=32,
+                                      mlp_hidden_size=64), out)
+
+
+def test_transformer_predictor_export_roundtrip():
+    ref_pred = ref_import("predictor")
+    torch.manual_seed(2)
+    tm = ref_pred.TransformerPredictor(d_model=32, num_layers=2,
+                                       num_heads=4, ffn_dim=64)
+    tree = tc.convert_torch_transformer_predictor(
+        tm.state_dict(), num_layers=2, num_heads=4)
+    out = te.export_torch_transformer_predictor(tree, num_layers=2,
+                                                num_heads=4)
+    _roundtrip(tm, tree, out)
+
+
+def test_mlp_predictor_export_roundtrip():
+    ref_pred = ref_import("predictor")
+    channels = [32, 64, 64, 32]
+    torch.manual_seed(3)
+    tm = ref_pred.ResidualMLPPredictor(channels)
+    tree = tc.convert_torch_mlp_predictor(tm.state_dict(),
+                                          num_linear=len(channels) - 1)
+    out = te.export_torch_mlp_predictor(tree, num_linear=len(channels) - 1)
+    _roundtrip(tm, tree, out)
+
+
+def test_quantizer_export_roundtrip():
+    ref_q = ref_import("vqvae.quantize")
+    torch.manual_seed(4)
+    tm = ref_q.VectorQuantizer2(17, 8, beta=0.25)
+    tree = tc.convert_torch_quantizer(tm.state_dict())
+    out = te.export_torch_quantizer(tree)
+    _roundtrip(tm, tree, out)
+
+
+@pytest.mark.parametrize("use_layer4", [True, False])
+def test_resnet_export_roundtrip(use_layer4):
+    ref_resnet = ref_import("resnet")
+    torch.manual_seed(5)
+    tm = ref_resnet.resnet18(small_inputs=True, use_layer4=use_layer4)
+    stage_sizes = (2, 2, 2, 2)
+    tree = tc.convert_torch_resnet(tm.state_dict(), stage_sizes,
+                                   use_layer4=use_layer4)
+    out = te.export_torch_resnet(tree, stage_sizes, use_layer4=use_layer4)
+    sd = {k: np.array(v.detach().cpu().numpy())
+          for k, v in tm.state_dict().items()}
+    # the reference keeps fc/layer4 modules around even when unused; only
+    # require the keys the converter consumed
+    for k, v in out.items():
+        np.testing.assert_array_equal(v, sd[k])
+    consumed = {k for k in sd
+                if k.startswith(("conv1", "bn1"))
+                or (k.startswith("layer")
+                    and (use_layer4 or not k.startswith("layer4")))}
+    assert consumed == set(out)
+
+
+def test_dvae_export_roundtrip():
+    ref_dvae = ref_import("steve.dVAE")
+    torch.manual_seed(6)
+    tm = ref_dvae.dVAE(vocab_size=32, img_channels=3)
+    tree = tc.convert_torch_dvae(tm.state_dict())
+    out = te.export_torch_dvae(tree)
+    _roundtrip(tm, tree, out)
+    _load_back(ref_dvae.dVAE(vocab_size=32, img_channels=3), out)
+
+
+def test_steve_transformer_export_roundtrip():
+    ref_st = ref_import("steve.steve_transformer")
+    cfg = dict(vocab_size=24, d_model=32, n_head=4, max_len=16,
+               num_slots=5, num_layers=2)
+    torch.manual_seed(7)
+    tm = ref_st.STEVETransformerDecoder(**cfg, dropout=0.0)
+    tree = tc.convert_torch_steve_transformer(tm.state_dict(), num_layers=2)
+    out = te.export_torch_steve_transformer(tree, num_layers=2)
+    _roundtrip(tm, tree, out)
+    _load_back(ref_st.STEVETransformerDecoder(**cfg, dropout=0.0), out)
+
+
+def test_slot_rollouter_export_roundtrip():
+    ref_sf = ref_vp_import("slotformer")
+    cfg = dict(num_slots=4, slot_size=16, history_len=3, d_model=32,
+               num_layers=2, num_heads=4, ffn_dim=64)
+    torch.manual_seed(8)
+    tm = ref_sf.SlotRollouter(**cfg)
+    tree = tc.convert_torch_slot_rollouter(tm.state_dict(), num_layers=2,
+                                           num_heads=4)
+    out = te.export_torch_slot_rollouter(tree, num_layers=2, num_heads=4)
+    _roundtrip(tm, tree, out)
+    _load_back(ref_sf.SlotRollouter(**cfg), out)
+
+
+def test_physion_readout_export_roundtrip():
+    ref_ro = ref_vp_import("readout")
+    rd = dict(num_slots=5, slot_size=16, agg_func="max", feats_dim=24)
+    torch.manual_seed(9)
+    tm = ref_ro.PhysionReadout(readout_dict=rd)
+    tree = tc.convert_torch_physion_readout(tm.state_dict())
+    out = te.export_torch_physion_readout(tree)
+    _roundtrip(tm, tree, out)
+
+
+def test_vqvae_export_roundtrip():
+    ref_vqvae = ref_import("vqvae.VQVAE")
+    enc_dec = dict(resolution=32, in_channels=3, z_channels=4, ch=32,
+                   ch_mult=[1, 2], num_res_blocks=1,
+                   attn_resolutions=[16], out_ch=3, dropout=0.0)
+    vq = dict(n_embed=64, embed_dim=4)
+    torch.manual_seed(10)
+    tm = ref_vqvae.VQVAE(enc_dec_dict=dict(enc_dec),
+                         vq_dict=dict(vq, percept_loss_w=1.0),
+                         use_loss=False)
+    tree = tc.convert_torch_vqvae(tm.state_dict(), enc_dec)
+    out = te.export_torch_vqvae(tree, enc_dec)
+    _roundtrip(tm, tree, out)
+    _load_back(ref_vqvae.VQVAE(enc_dec_dict=dict(enc_dec),
+                               vq_dict=dict(vq, percept_loss_w=1.0),
+                               use_loss=False), out)
