@@ -197,10 +197,13 @@ class DeconvNormAct(nn.Module):
     """ConvTranspose2D -> (norm) -> (act). NHWC.
 
     Equivalent of `nerv.models.deconv_norm_act` used by the spatial-broadcast
-    decoder (img_based/models/slot_attention.py:259-272). With stride 2 and
-    'SAME' padding, output spatial size is exactly 2x the input, matching the
-    reference's kernel-5/stride-2/pad-2/output-pad-1 arithmetic
-    (`deconv_out_shape`).
+    decoder (img_based/models/slot_attention.py:259-272): torch
+    `ConvTranspose2d(k, s, padding=k//2, output_padding=s-1)` per the
+    reference's `deconv_out_shape` arithmetic, so output spatial size is
+    exactly `s`x the input. The explicit (lo, hi) padding reproduces torch's
+    asymmetric crop — `padding="SAME"` picks a different split at stride 2
+    (pixel alignment shifts by one), which broke bit-parity of converted
+    reference checkpoints (caught by test_sa_full_model_matches_reference).
     """
 
     out_channels: int
@@ -212,11 +215,13 @@ class DeconvNormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        lo = self.kernel_size - 1 - self.kernel_size // 2
+        hi = lo + self.stride - 1
         x = nn.ConvTranspose(
             self.out_channels,
             (self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=((lo, hi), (lo, hi)),
             kernel_init=conv_kernel_init,
             dtype=self.dtype,
         )(x)

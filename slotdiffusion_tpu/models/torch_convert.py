@@ -199,6 +199,72 @@ def convert_torch_slot_attention(state_dict):
     }
 
 
+def _deconv(sd, prefix):
+    """torch ConvTranspose2d weight [C_in, C_out, kh, kw] -> flax
+    nn.ConvTranspose kernel [kh, kw, C_in, C_out]. flax's conv_transpose
+    correlates the kernel as-is (transpose_kernel=False) while torch's
+    transposed conv applies the spatially-flipped kernel, so the spatial
+    dims flip in conversion (verified exact in
+    tests/test_reference_parity.py::test_sa_full_model_matches_reference).
+    """
+    w = sd[f"{prefix}.weight"]
+    return {"kernel": np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1)),
+            "bias": sd[f"{prefix}.bias"]}
+
+
+def _sa_backbone(sd, num_enc_layers, num_dec_layers):
+    """Shared SA/SAVi backbone walk: CNN-encoder conv stack +
+    SoftPositionEmbed + LN/MLP head, learnable init_latents,
+    SlotAttention, spatial-broadcast deconv decoder with its own
+    SoftPositionEmbed and the final 1x1 RGBA conv."""
+    enc = {}
+    for i in range(num_enc_layers):
+        enc[f"ConvNormAct_{i}"] = {"Conv_0": _conv(sd, f"encoder.{i}.0")}
+    enc["SoftPositionEmbed_0"] = {
+        "Dense_0": _linear(sd, "encoder_pos_embedding.dense")}
+    enc["LayerNorm_0"] = _layernorm(sd, "encoder_out_layer.0")
+    enc["Dense_0"] = _linear(sd, "encoder_out_layer.1")
+    enc["Dense_1"] = _linear(sd, "encoder_out_layer.3")
+
+    dec = {"SoftPositionEmbed_0": {
+        "Dense_0": _linear(sd, "decoder_pos_embedding.dense")}}
+    for i in range(num_dec_layers):
+        dec[f"DeconvNormAct_{i}"] = {
+            "ConvTranspose_0": _deconv(sd, f"decoder.{i}.0")}
+    dec["Conv_0"] = _conv(sd, f"decoder.{num_dec_layers}")
+
+    sa_sd = {k[len("slot_attention."):]: v for k, v in sd.items()
+             if k.startswith("slot_attention.")}
+    return {
+        "init_latents": sd["init_latents"],
+        "slot_attention": convert_torch_slot_attention(sa_sd),
+        "encoder": enc,
+        "decoder": dec,
+    }
+
+
+def convert_torch_sa(state_dict, num_enc_layers, num_dec_layers):
+    """Full reference SA image model (img_based/models/slot_attention.py:
+    115-425, plain-CNN encoder variant) -> flax `models.sa.SA` params."""
+    sd = numpy_state_dict(state_dict)
+    return _sa_backbone(sd, num_enc_layers, num_dec_layers)
+
+
+def convert_torch_savi(state_dict, num_enc_layers, num_dec_layers,
+                       pred_num_layers, pred_num_heads):
+    """Full reference SAVi video model (video_based/models/savi.py:117-565,
+    plain-CNN encoder, transformer predictor without the RNN wrapper) ->
+    flax `models.savi.SAVi` params: the SA backbone plus the slot
+    predictor that carries slots across frames."""
+    sd = numpy_state_dict(state_dict)
+    params = _sa_backbone(sd, num_enc_layers, num_dec_layers)
+    pred_sd = {k[len("predictor."):]: v for k, v in sd.items()
+               if k.startswith("predictor.")}
+    params["predictor"] = convert_torch_transformer_predictor(
+        pred_sd, num_layers=pred_num_layers, num_heads=pred_num_heads)
+    return params
+
+
 def _mha(sd, prefix, num_heads):
     """torch nn.MultiheadAttention (packed in_proj) -> flax
     MultiHeadDotProductAttention subtree. Both split the packed feature

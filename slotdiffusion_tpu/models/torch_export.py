@@ -186,6 +186,55 @@ def export_torch_slot_attention(params) -> Dict[str, np.ndarray]:
     }
 
 
+def _inv_deconv(out, prefix, sub):
+    """Inverse of torch_convert._deconv: unflip spatial dims, restore
+    torch's [C_in, C_out, kh, kw] layout."""
+    k = np.transpose(_np(sub["kernel"]), (2, 3, 0, 1))
+    out[f"{prefix}.weight"] = k[:, :, ::-1, ::-1]
+    out[f"{prefix}.bias"] = _np(sub["bias"])
+
+
+def export_torch_sa(params, num_enc_layers, num_dec_layers):
+    """flax `models.sa.SA` params -> reference SA image model state_dict
+    (img_based/models/slot_attention.py:115-425, plain-CNN encoder).
+    Also the backbone for export_torch_savi."""
+    out: Dict[str, np.ndarray] = {}
+    out["init_latents"] = _np(params["init_latents"])
+    for k, v in export_torch_slot_attention(
+            params["slot_attention"]).items():
+        out[f"slot_attention.{k}"] = v
+
+    enc = params["encoder"]
+    for i in range(num_enc_layers):
+        _inv_conv(out, f"encoder.{i}.0", enc[f"ConvNormAct_{i}"]["Conv_0"])
+    _inv_linear(out, "encoder_pos_embedding.dense",
+                enc["SoftPositionEmbed_0"]["Dense_0"])
+    _inv_layernorm(out, "encoder_out_layer.0", enc["LayerNorm_0"])
+    _inv_linear(out, "encoder_out_layer.1", enc["Dense_0"])
+    _inv_linear(out, "encoder_out_layer.3", enc["Dense_1"])
+
+    dec = params["decoder"]
+    _inv_linear(out, "decoder_pos_embedding.dense",
+                dec["SoftPositionEmbed_0"]["Dense_0"])
+    for i in range(num_dec_layers):
+        _inv_deconv(out, f"decoder.{i}.0",
+                    dec[f"DeconvNormAct_{i}"]["ConvTranspose_0"])
+    _inv_conv(out, f"decoder.{num_dec_layers}", dec["Conv_0"])
+    return out
+
+
+def export_torch_savi(params, num_enc_layers, num_dec_layers,
+                      pred_num_layers, pred_num_heads):
+    """flax `models.savi.SAVi` params -> reference SAVi video model
+    state_dict (video_based/models/savi.py:117-565, plain-CNN encoder,
+    transformer predictor without the RNN wrapper)."""
+    out = export_torch_sa(params, num_enc_layers, num_dec_layers)
+    for k, v in export_torch_transformer_predictor(
+            params["predictor"], pred_num_layers, pred_num_heads).items():
+        out[f"predictor.{k}"] = v
+    return out
+
+
 def _inv_mha(out, prefix, sub, num_heads):
     """Inverse of torch_convert._mha: flax MultiHeadDotProductAttention
     subtree -> torch nn.MultiheadAttention packed in_proj layout."""

@@ -53,15 +53,52 @@ def _install_stubs():
 
     def _nerv_unavailable(*a, **k):
         raise NotImplementedError(
-            "nerv.models is external to the reference repo; parity tests "
-            "only exercise code paths that never call these helpers")
+            "external helper not installed in this image; parity tests "
+            "only exercise code paths that never call it")
 
-    # savi.py imports these at module level; SlotAttention/predictor
-    # classes under test never call them
+    # nerv.models conv helpers, reconstructed from the reference's pinned
+    # usage (SURVEY.md §2.1; img_based/models/slot_attention.py:225-235,
+    # 259-272): conv_norm_act = Conv2d(padding=k//2) -> (norm) -> (act);
+    # deconv_norm_act = ConvTranspose2d(padding=k//2, output_padding=s-1)
+    # -> (norm) -> (act) — the only arithmetic consistent with the
+    # reference's own deconv_out_shape(out, s, k//2, k, s-1) call. The SA
+    # configs all use norm='' ; other norms are out of parity scope.
+    def _conv_norm_act(in_ch, out_ch, kernel_size=3, stride=1, norm="",
+                       act="relu"):
+        assert norm in ("",), f"norm={norm!r} not covered by the shim"
+        layers = [nn.Conv2d(in_ch, out_ch, kernel_size, stride,
+                            padding=kernel_size // 2)]
+        if act == "relu":
+            layers.append(nn.ReLU())
+        else:
+            assert act == "", f"act={act!r} not covered by the shim"
+        return nn.Sequential(*layers)
+
+    def _deconv_norm_act(in_ch, out_ch, kernel_size=3, stride=1, norm="",
+                         act="relu"):
+        assert norm in ("",), f"norm={norm!r} not covered by the shim"
+        layers = [nn.ConvTranspose2d(in_ch, out_ch, kernel_size, stride,
+                                     padding=kernel_size // 2,
+                                     output_padding=stride - 1)]
+        if act == "relu":
+            layers.append(nn.ReLU())
+        else:
+            assert act == "", f"act={act!r} not covered by the shim"
+        return nn.Sequential(*layers)
+
+    def _deconv_out_shape(in_size, stride, padding, kernel_size,
+                          out_padding):
+        if isinstance(in_size, (tuple, list)):
+            return type(in_size)(
+                _deconv_out_shape(s, stride, padding, kernel_size,
+                                  out_padding) for s in in_size)
+        return (in_size - 1) * stride - 2 * padding + kernel_size \
+            + out_padding
+
     nerv.models = _stub_module(
-        "nerv.models", conv_norm_act=_nerv_unavailable,
-        deconv_norm_act=_nerv_unavailable,
-        deconv_out_shape=_nerv_unavailable)
+        "nerv.models", conv_norm_act=_conv_norm_act,
+        deconv_norm_act=_deconv_norm_act,
+        deconv_out_shape=_deconv_out_shape)
 
     # eval_utils.py imports skimage.metrics at module level (not installed
     # in this image); the metric fns are never called by parity tests
@@ -115,6 +152,42 @@ def ref_vp_import(submodule):
     """Import e.g. 'slotformer' under the refvpmodels package."""
     load_ref_vp_package()
     return importlib.import_module(f"refvpmodels.{submodule}")
+
+
+REF_IMG_MODELS = "/root/reference/slotdiffusion/img_based/models"
+
+
+def load_ref_img_package():
+    """Same as load_ref_package but over the img_based models tree
+    (slot_attention.py with the full SA model, sa_diffusion.py, slate)."""
+    if "refimgmodels" in sys.modules:
+        return sys.modules["refimgmodels"]
+    _install_stubs()
+    # img_based modules re-export through ABSOLUTE
+    # `slotdiffusion.video_based.models.*` imports (e.g. img resnet.py:1);
+    # alias that package path onto the reference models dir so the normal
+    # import machinery resolves them
+    if "slotdiffusion.video_based.models" not in sys.modules:
+        _stub_module("slotdiffusion")
+        _stub_module("slotdiffusion.video_based")
+        spec = importlib.machinery.ModuleSpec(
+            "slotdiffusion.video_based.models", None, origin=REF_MODELS,
+            is_package=True)
+        spec.submodule_search_locations = [REF_MODELS]
+        pkg = importlib.util.module_from_spec(spec)
+        sys.modules["slotdiffusion.video_based.models"] = pkg
+    spec = importlib.machinery.ModuleSpec(
+        "refimgmodels", None, origin=REF_IMG_MODELS, is_package=True)
+    spec.submodule_search_locations = [REF_IMG_MODELS]
+    pkg = importlib.util.module_from_spec(spec)
+    sys.modules["refimgmodels"] = pkg
+    return pkg
+
+
+def ref_img_import(submodule):
+    """Import e.g. 'slot_attention' under the refimgmodels package."""
+    load_ref_img_package()
+    return importlib.import_module(f"refimgmodels.{submodule}")
 
 
 def ref_import(submodule):

@@ -1193,3 +1193,153 @@ def test_cond_ddpm_ancestral_sampling_matches_reference(monkeypatch):
                  method=CondDDPM.generate_imgs)
     np.testing.assert_allclose(np.transpose(np.asarray(x), (0, 3, 1, 2)),
                                ref_x, rtol=5e-3, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Full SA image model (img_based/models/slot_attention.py:115-425)
+# ---------------------------------------------------------------------------
+
+
+from reference_loader import ref_img_import  # noqa: E402
+
+
+_SA_SLOT = dict(num_slots=4, slot_size=32, slot_mlp_size=64,
+                num_iterations=2)
+_SA_ENC = dict(enc_channels=(3, 16, 16), enc_ks=5, enc_out_channels=32,
+               enc_norm="")
+_SA_DEC = dict(dec_channels=(32, 16, 16), dec_resolution=(16, 16),
+               dec_ks=5, dec_norm="")
+
+
+def _build_sa_pair(seed=101):
+    """(reference SA with random weights, flax SA, converted params)."""
+    ref_sa = ref_img_import("slot_attention")
+    from slotdiffusion_tpu.models.sa import SA
+    from slotdiffusion_tpu.models.torch_convert import convert_torch_sa
+
+    torch.manual_seed(seed)
+    tm = ref_sa.SA(resolution=(64, 64), slot_dict=dict(_SA_SLOT),
+                   enc_dict=dict(_SA_ENC), dec_dict=dict(_SA_DEC),
+                   loss_dict=dict(use_img_recon_loss=True))
+    tm.eval()
+    params = convert_torch_sa(tm.state_dict(),
+                              num_enc_layers=len(_SA_ENC["enc_channels"]) - 1,
+                              num_dec_layers=len(_SA_DEC["dec_channels"]) - 1)
+    jm = SA(resolution=(64, 64), slot_dict=dict(_SA_SLOT),
+            enc_dict=dict(_SA_ENC), dec_dict=dict(_SA_DEC),
+            loss_dict=dict(use_img_recon_loss=True))
+    return tm, jm, params
+
+
+def test_sa_full_model_matches_reference():
+    """END-TO-END SA: CNN encoder (nerv conv blocks, behavior pinned by the
+    deconv_out_shape call signature) -> SoftPositionEmbed -> flatten order
+    -> LN/MLP head -> SlotAttention with learnable init_latents ->
+    spatial-broadcast deconv decoder (stride-2 ConvTranspose ALIGNMENT:
+    torch pad=k//2/output_padding=s-1 crop, which 'SAME' padding does NOT
+    reproduce) -> RGBA split, slot softmax, weighted recon + MSE loss.
+    Composes every piece parity: wiring bugs (reshape order, pos-embed
+    placement, mask softmax axis) cannot hide."""
+    tm, jm, params = _build_sa_pair()
+
+    init = jm.init(jax.random.PRNGKey(0),
+                   {"img": jnp.zeros((1, 64, 64, 3))})
+    _tree_paths_match(init["params"], params)
+
+    rng = np.random.RandomState(102)
+    x = rng.rand(2, 3, 64, 64).astype(np.float32) * 2 - 1
+    dd_t = {"img": torch.tensor(x)}
+    with torch.no_grad():
+        out_t = tm(dd_t)
+        loss_t = tm.calc_train_loss(dd_t, out_t)["img_recon_loss"].item()
+
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+    dd_j = {"img": jnp.asarray(np.transpose(x, (0, 2, 3, 1)))}
+    from slotdiffusion_tpu.models.sa import SA
+    out_j = jm.apply(variables, dd_j, train=False)
+
+    np.testing.assert_allclose(np.asarray(out_j["slots"]),
+                               out_t["slots"].numpy(), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out_j["recon_img"]), (0, 3, 1, 2)),
+        out_t["recon_img"].numpy(), rtol=2e-4, atol=2e-5)
+    # masks: flax [B, S, H, W, 1] vs torch [B, S, 1, H, W]
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out_j["masks"]), (0, 1, 4, 2, 3)),
+        out_t["masks"].numpy(), rtol=2e-4, atol=1e-5)
+
+    loss_j = SA.calc_train_loss(dd_j, out_j)["img_recon_loss"]
+    np.testing.assert_allclose(float(loss_j), loss_t, rtol=1e-4)
+
+    # testing=True short-circuit (slot extraction path, reference :329-330)
+    tm.testing = True
+    with torch.no_grad():
+        slots_only = tm(dd_t)["slots"].numpy()
+    out_test = jm.apply(variables, dd_j, testing=True)
+    assert set(out_test.keys()) == {"slots"}
+    np.testing.assert_allclose(np.asarray(out_test["slots"]), slots_only,
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_savi_full_model_matches_reference():
+    """END-TO-END SAVi (video_based/models/savi.py:117-565): the SA
+    backbone plus the per-frame recurrence — frame 0 seeds SlotAttention
+    with the learned init_latents, later frames with predictor(prev_slots)
+    — the rebuild's nn.scan over frames must match the reference's Python
+    loop, and the prev_slots chunk-continuation path must match a
+    mid-video restart."""
+    ref_savi = ref_import("savi")
+    from slotdiffusion_tpu.models.savi import SAVi
+    from slotdiffusion_tpu.models.torch_convert import convert_torch_savi
+
+    pred = dict(pred_type="transformer", pred_rnn=False,
+                pred_norm_first=True, pred_num_layers=1, pred_num_heads=4,
+                pred_ffn_dim=64, pred_sg_every=None)
+    torch.manual_seed(111)
+    tm = ref_savi.SAVi(resolution=(64, 64), clip_len=6,
+                       slot_dict=dict(_SA_SLOT), enc_dict=dict(_SA_ENC),
+                       dec_dict=dict(_SA_DEC), pred_dict=dict(pred),
+                       loss_dict=dict(use_img_recon_loss=True))
+    tm.eval()
+    params = convert_torch_savi(
+        tm.state_dict(),
+        num_enc_layers=len(_SA_ENC["enc_channels"]) - 1,
+        num_dec_layers=len(_SA_DEC["dec_channels"]) - 1,
+        pred_num_layers=1, pred_num_heads=4)
+    jm = SAVi(resolution=(64, 64), clip_len=6, slot_dict=dict(_SA_SLOT),
+              enc_dict=dict(_SA_ENC), dec_dict=dict(_SA_DEC),
+              pred_dict=dict(pred), loss_dict=dict(use_img_recon_loss=True))
+
+    init = jm.init(jax.random.PRNGKey(0),
+                   {"img": jnp.zeros((1, 2, 64, 64, 3))})
+    _tree_paths_match(init["params"], params)
+
+    rng = np.random.RandomState(112)
+    x = rng.rand(2, 3, 3, 64, 64).astype(np.float32) * 2 - 1  # [B,T,C,H,W]
+    dd_t = {"img": torch.tensor(x)}
+    with torch.no_grad():
+        out_t = tm(dd_t)
+
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+    dd_j = {"img": jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))}
+    out_j = jm.apply(variables, dd_j, train=False)
+
+    np.testing.assert_allclose(np.asarray(out_j["slots"]),
+                               out_t["slots"].numpy(), rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out_j["recon_img"]), (0, 1, 4, 2, 3)),
+        out_t["recon_img"].numpy(), rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out_j["masks"]), (0, 1, 2, 5, 3, 4)),
+        out_t["masks"].numpy(), rtol=5e-4, atol=2e-5)
+
+    # chunk continuation: restart mid-video from prev_slots, as the
+    # reference's OOM-splitting loop does (savi.py:427-443)
+    prev = out_t["slots"][:, -1].clone()
+    with torch.no_grad():
+        cont_t = tm._forward(dd_t["img"], prev_slots=prev)
+    cont_j = jm.apply(variables, dd_j,
+                      prev_slots=jnp.asarray(prev.numpy()), train=False)
+    np.testing.assert_allclose(np.asarray(cont_j["slots"]),
+                               cont_t["slots"].numpy(), rtol=5e-4,
+                               atol=5e-5)

@@ -24,7 +24,7 @@ these functions runs identically under the reference's torch code.
 import numpy as np
 import pytest
 
-from reference_loader import ref_import, ref_vp_import
+from reference_loader import ref_img_import, ref_import, ref_vp_import
 
 pytestmark = pytest.mark.fast
 
@@ -222,3 +222,53 @@ def test_vqvae_export_roundtrip():
     _load_back(ref_vqvae.VQVAE(enc_dec_dict=dict(enc_dec),
                                vq_dict=dict(vq, percept_loss_w=1.0),
                                use_loss=False), out)
+
+
+def test_sa_full_model_export_roundtrip():
+    ref_sa = ref_img_import("slot_attention")
+    slot = dict(num_slots=4, slot_size=32, slot_mlp_size=64,
+                num_iterations=2)
+    enc = dict(enc_channels=(3, 16, 16), enc_ks=5, enc_out_channels=32,
+               enc_norm="")
+    dec = dict(dec_channels=(32, 16, 16), dec_resolution=(16, 16),
+               dec_ks=5, dec_norm="")
+    torch.manual_seed(11)
+    tm = ref_sa.SA(resolution=(64, 64), slot_dict=dict(slot),
+                   enc_dict=dict(enc), dec_dict=dict(dec),
+                   loss_dict=dict(use_img_recon_loss=True))
+    tree = tc.convert_torch_sa(tm.state_dict(), num_enc_layers=2,
+                               num_dec_layers=2)
+    out = te.export_torch_sa(tree, num_enc_layers=2, num_dec_layers=2)
+    _roundtrip(tm, tree, out)
+    _load_back(ref_sa.SA(resolution=(64, 64), slot_dict=dict(slot),
+                         enc_dict=dict(enc), dec_dict=dict(dec),
+                         loss_dict=dict(use_img_recon_loss=True)), out)
+
+
+def test_savi_full_model_export_roundtrip():
+    ref_savi = ref_import("savi")
+    slot = dict(num_slots=4, slot_size=32, slot_mlp_size=64,
+                num_iterations=2)
+    enc = dict(enc_channels=(3, 16, 16), enc_ks=5, enc_out_channels=32,
+               enc_norm="")
+    dec = dict(dec_channels=(32, 16, 16), dec_resolution=(16, 16),
+               dec_ks=5, dec_norm="")
+    pred = dict(pred_type="transformer", pred_rnn=False,
+                pred_norm_first=True, pred_num_layers=1, pred_num_heads=4,
+                pred_ffn_dim=64, pred_sg_every=None)
+    torch.manual_seed(12)
+    tm = ref_savi.SAVi(resolution=(64, 64), clip_len=6,
+                       slot_dict=dict(slot), enc_dict=dict(enc),
+                       dec_dict=dict(dec), pred_dict=dict(pred),
+                       loss_dict=dict(use_img_recon_loss=True))
+    tree = tc.convert_torch_savi(tm.state_dict(), num_enc_layers=2,
+                                 num_dec_layers=2, pred_num_layers=1,
+                                 pred_num_heads=4)
+    out = te.export_torch_savi(tree, num_enc_layers=2, num_dec_layers=2,
+                               pred_num_layers=1, pred_num_heads=4)
+    _roundtrip(tm, tree, out)
+    _load_back(
+        ref_savi.SAVi(resolution=(64, 64), clip_len=6,
+                      slot_dict=dict(slot), enc_dict=dict(enc),
+                      dec_dict=dict(dec), pred_dict=dict(pred),
+                      loss_dict=dict(use_img_recon_loss=True)), out)
