@@ -213,10 +213,32 @@ def _deconv(sd, prefix):
 
 
 def _sa_backbone(sd, num_enc_layers, num_dec_layers):
-    """Shared SA/SAVi backbone walk: CNN-encoder conv stack +
-    SoftPositionEmbed + LN/MLP head, learnable init_latents,
-    SlotAttention, spatial-broadcast deconv decoder with its own
-    SoftPositionEmbed and the final 1x1 RGBA conv."""
+    """Shared SA/SAVi backbone walk: the encode side (below) plus the
+    spatial-broadcast deconv decoder with its own SoftPositionEmbed and
+    the final 1x1 RGBA conv."""
+    params = _sa_encoder_side(sd, num_enc_layers)
+    dec = {"SoftPositionEmbed_0": {
+        "Dense_0": _linear(sd, "decoder_pos_embedding.dense")}}
+    for i in range(num_dec_layers):
+        dec[f"DeconvNormAct_{i}"] = {
+            "ConvTranspose_0": _deconv(sd, f"decoder.{i}.0")}
+    dec["Conv_0"] = _conv(sd, f"decoder.{num_dec_layers}")
+    params["decoder"] = dec
+    return params
+
+
+def convert_torch_sa(state_dict, num_enc_layers, num_dec_layers):
+    """Full reference SA image model (img_based/models/slot_attention.py:
+    115-425, plain-CNN encoder variant) -> flax `models.sa.SA` params."""
+    sd = numpy_state_dict(state_dict)
+    return _sa_backbone(sd, num_enc_layers, num_dec_layers)
+
+
+def _sa_encoder_side(sd, num_enc_layers):
+    """The encode-side subset of the SA backbone (no deconv decoder):
+    CNN conv stack + SoftPositionEmbed + LN/MLP head, init_latents,
+    SlotAttention. Shared by the *Diffusion models, whose decoder is a
+    DM rather than spatial broadcast (sa_diffusion.py:141-148)."""
     enc = {}
     for i in range(num_enc_layers):
         enc[f"ConvNormAct_{i}"] = {"Conv_0": _conv(sd, f"encoder.{i}.0")}
@@ -225,29 +247,67 @@ def _sa_backbone(sd, num_enc_layers, num_dec_layers):
     enc["LayerNorm_0"] = _layernorm(sd, "encoder_out_layer.0")
     enc["Dense_0"] = _linear(sd, "encoder_out_layer.1")
     enc["Dense_1"] = _linear(sd, "encoder_out_layer.3")
-
-    dec = {"SoftPositionEmbed_0": {
-        "Dense_0": _linear(sd, "decoder_pos_embedding.dense")}}
-    for i in range(num_dec_layers):
-        dec[f"DeconvNormAct_{i}"] = {
-            "ConvTranspose_0": _deconv(sd, f"decoder.{i}.0")}
-    dec["Conv_0"] = _conv(sd, f"decoder.{num_dec_layers}")
-
     sa_sd = {k[len("slot_attention."):]: v for k, v in sd.items()
              if k.startswith("slot_attention.")}
     return {
         "init_latents": sd["init_latents"],
         "slot_attention": convert_torch_slot_attention(sa_sd),
         "encoder": enc,
-        "decoder": dec,
     }
 
 
-def convert_torch_sa(state_dict, num_enc_layers, num_dec_layers):
-    """Full reference SA image model (img_based/models/slot_attention.py:
-    115-425, plain-CNN encoder variant) -> flax `models.sa.SA` params."""
+def convert_torch_sa_diffusion(state_dict, num_enc_layers,
+                               num_res_blocks, channel_mult,
+                               attention_resolutions,
+                               resblock_updown=False,
+                               transformer_depth=1):
+    """Full reference SADiffusion (img_based/models/sa_diffusion.py:73-247,
+    plain-CNN encoder, CondDDPM decoder) -> flax
+    `models.slot_diffusion.SADiffusion` params: the SA encode side with
+    the WMask slot attention plus the slot-conditioned denoising UNet
+    (`dm_decoder.model.diffusion_model` on the torch side)."""
     sd = numpy_state_dict(state_dict)
-    return _sa_backbone(sd, num_enc_layers, num_dec_layers)
+    params = _sa_encoder_side(sd, num_enc_layers)
+    unet_sd = {k[len("dm_decoder.model.diffusion_model."):]: v
+               for k, v in sd.items()
+               if k.startswith("dm_decoder.model.diffusion_model.")}
+    params["dm_decoder"] = {"unet": convert_torch_unet(
+        unet_sd, num_res_blocks=num_res_blocks, channel_mult=channel_mult,
+        attention_resolutions=attention_resolutions,
+        resblock_updown=resblock_updown,
+        transformer_depth=transformer_depth)}
+    return params
+
+
+def convert_torch_savi_diffusion(state_dict, num_enc_layers,
+                                 pred_num_layers, pred_num_heads,
+                                 num_res_blocks, channel_mult,
+                                 attention_resolutions,
+                                 resblock_updown=False,
+                                 transformer_depth=1):
+    """Full reference SAViDiffusion (video_based/models/savi_diffusion.py:
+    74-302, plain-CNN encoder, transformer predictor, CondDDPM decoder) ->
+    flax `models.slot_diffusion.SAViDiffusion` params. The flax model
+    nests the recurrent encode side under `savi`; the torch module is
+    flat."""
+    sd = numpy_state_dict(state_dict)
+    savi = _sa_encoder_side(sd, num_enc_layers)
+    pred_sd = {k[len("predictor."):]: v for k, v in sd.items()
+               if k.startswith("predictor.")}
+    savi["predictor"] = convert_torch_transformer_predictor(
+        pred_sd, num_layers=pred_num_layers, num_heads=pred_num_heads)
+    unet_sd = {k[len("dm_decoder.model.diffusion_model."):]: v
+               for k, v in sd.items()
+               if k.startswith("dm_decoder.model.diffusion_model.")}
+    return {
+        "savi": savi,
+        "dm_decoder": {"unet": convert_torch_unet(
+            unet_sd, num_res_blocks=num_res_blocks,
+            channel_mult=channel_mult,
+            attention_resolutions=attention_resolutions,
+            resblock_updown=resblock_updown,
+            transformer_depth=transformer_depth)},
+    }
 
 
 def convert_torch_savi(state_dict, num_enc_layers, num_dec_layers,

@@ -194,16 +194,12 @@ def _inv_deconv(out, prefix, sub):
     out[f"{prefix}.bias"] = _np(sub["bias"])
 
 
-def export_torch_sa(params, num_enc_layers, num_dec_layers):
-    """flax `models.sa.SA` params -> reference SA image model state_dict
-    (img_based/models/slot_attention.py:115-425, plain-CNN encoder).
-    Also the backbone for export_torch_savi."""
-    out: Dict[str, np.ndarray] = {}
+def _inv_sa_encoder_side(out, params, num_enc_layers):
+    """Encode-side subset shared by SA/SAVi/SADiffusion exports."""
     out["init_latents"] = _np(params["init_latents"])
     for k, v in export_torch_slot_attention(
             params["slot_attention"]).items():
         out[f"slot_attention.{k}"] = v
-
     enc = params["encoder"]
     for i in range(num_enc_layers):
         _inv_conv(out, f"encoder.{i}.0", enc[f"ConvNormAct_{i}"]["Conv_0"])
@@ -213,6 +209,14 @@ def export_torch_sa(params, num_enc_layers, num_dec_layers):
     _inv_linear(out, "encoder_out_layer.1", enc["Dense_0"])
     _inv_linear(out, "encoder_out_layer.3", enc["Dense_1"])
 
+
+def export_torch_sa(params, num_enc_layers, num_dec_layers):
+    """flax `models.sa.SA` params -> reference SA image model state_dict
+    (img_based/models/slot_attention.py:115-425, plain-CNN encoder).
+    Also the backbone for export_torch_savi."""
+    out: Dict[str, np.ndarray] = {}
+    _inv_sa_encoder_side(out, params, num_enc_layers)
+
     dec = params["decoder"]
     _inv_linear(out, "decoder_pos_embedding.dense",
                 dec["SoftPositionEmbed_0"]["Dense_0"])
@@ -220,6 +224,53 @@ def export_torch_sa(params, num_enc_layers, num_dec_layers):
         _inv_deconv(out, f"decoder.{i}.0",
                     dec[f"DeconvNormAct_{i}"]["ConvTranspose_0"])
     _inv_conv(out, f"decoder.{num_dec_layers}", dec["Conv_0"])
+    return out
+
+
+def export_torch_sa_diffusion(params, num_enc_layers, num_res_blocks,
+                              channel_mult, attention_resolutions,
+                              resblock_updown=False, transformer_depth=1):
+    """flax `models.slot_diffusion.SADiffusion` params -> reference
+    SADiffusion state_dict (img_based/models/sa_diffusion.py:73-247,
+    CondDDPM decoder). Diffusion schedule buffers and the LitEma shadow
+    are recomputed/re-initialized by the torch ctor — load with
+    strict=False."""
+    out: Dict[str, np.ndarray] = {}
+    _inv_sa_encoder_side(out, params, num_enc_layers)
+    unet = export_torch_unet(
+        params["dm_decoder"]["unet"], num_res_blocks=num_res_blocks,
+        channel_mult=channel_mult,
+        attention_resolutions=attention_resolutions,
+        resblock_updown=resblock_updown,
+        transformer_depth=transformer_depth)
+    for k, v in unet.items():
+        out[f"dm_decoder.model.diffusion_model.{k}"] = v
+    return out
+
+
+def export_torch_savi_diffusion(params, num_enc_layers, pred_num_layers,
+                                pred_num_heads, num_res_blocks,
+                                channel_mult, attention_resolutions,
+                                resblock_updown=False,
+                                transformer_depth=1):
+    """flax `models.slot_diffusion.SAViDiffusion` params -> reference
+    SAViDiffusion state_dict (video_based/models/savi_diffusion.py:74-302).
+    Schedule buffers / LitEma shadows are rebuilt by the torch ctor —
+    load with strict=False."""
+    out: Dict[str, np.ndarray] = {}
+    savi = params["savi"]
+    _inv_sa_encoder_side(out, savi, num_enc_layers)
+    for k, v in export_torch_transformer_predictor(
+            savi["predictor"], pred_num_layers, pred_num_heads).items():
+        out[f"predictor.{k}"] = v
+    unet = export_torch_unet(
+        params["dm_decoder"]["unet"], num_res_blocks=num_res_blocks,
+        channel_mult=channel_mult,
+        attention_resolutions=attention_resolutions,
+        resblock_updown=resblock_updown,
+        transformer_depth=transformer_depth)
+    for k, v in unet.items():
+        out[f"dm_decoder.model.diffusion_model.{k}"] = v
     return out
 
 

@@ -1343,3 +1343,179 @@ def test_savi_full_model_matches_reference():
     np.testing.assert_allclose(np.asarray(cont_j["slots"]),
                                cont_t["slots"].numpy(), rtol=5e-4,
                                atol=5e-5)
+
+
+def test_sa_diffusion_full_model_matches_reference(monkeypatch):
+    """END-TO-END SADiffusion (img_based/models/sa_diffusion.py:73-247):
+    CNN encoder -> SlotAttentionWMask (masks = last-iter attention) ->
+    slots condition a CondDDPM via cross-attention; the training loss is
+    the DM denoise MSE on those slots. Randomness (timesteps, noise) is
+    pinned identically on both sides so the composed denoise_loss must
+    agree to f32 accumulation tolerance."""
+    ref_sd = ref_img_import("sa_diffusion")
+    from slotdiffusion_tpu.models.slot_diffusion import SADiffusion
+    from slotdiffusion_tpu.models.torch_convert import (
+        convert_torch_sa_diffusion)
+
+    unet_cfg = dict(in_channels=3, model_channels=32, out_channels=3,
+                    num_res_blocks=1, attention_resolutions=(2,),
+                    channel_mult=(1, 2), num_head_channels=16,
+                    context_dim=_SA_SLOT["slot_size"])
+    dec = dict(resolution=(64, 64), unet_dict=dict(unet_cfg),
+               use_ema=False, diffusion_dict=dict(_DIFF_CFG),
+               conditioning_key="crossattn", cond_stage_key="slots")
+    torch.manual_seed(121)
+    tm = ref_sd.SADiffusion(resolution=(64, 64), slot_dict=dict(_SA_SLOT),
+                            enc_dict=dict(_SA_ENC), dec_dict=dict(dec),
+                            loss_dict=dict(use_denoise_loss=True))
+    tm.eval()
+    with torch.no_grad():
+        for name, p in tm.named_parameters():
+            if p.abs().max() == 0:
+                p.copy_(torch.randn_like(p) * 0.02)
+
+    params = convert_torch_sa_diffusion(
+        tm.state_dict(), num_enc_layers=len(_SA_ENC["enc_channels"]) - 1,
+        num_res_blocks=1, channel_mult=(1, 2), attention_resolutions=(2,))
+    jm = SADiffusion(resolution=(64, 64), slot_dict=dict(_SA_SLOT),
+                     enc_dict=dict(_SA_ENC),
+                     dec_dict=dict(dec, unet_dict=dict(
+                         unet_cfg, attn_softmax="stable")),
+                     loss_dict=dict(use_denoise_loss=True))
+    init = jm.init({"params": jax.random.PRNGKey(0),
+                    "diffusion": jax.random.PRNGKey(1)},
+                   {"img": jnp.zeros((1, 64, 64, 3))},
+                   method=SADiffusion.compute_losses)
+    _tree_paths_match(init["params"], params)
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+    rng = np.random.RandomState(122)
+    x = rng.rand(2, 3, 64, 64).astype(np.float32) * 2 - 1
+    dd_t = {"img": torch.tensor(x)}
+    dd_j = {"img": jnp.asarray(np.transpose(x, (0, 2, 3, 1)))}
+
+    # --- encode: slots + attention masks ---
+    with torch.no_grad():
+        out_t = tm(dd_t)
+    out_j = jm.apply(variables, dd_j, train=False,
+                     rngs={"diffusion": jax.random.PRNGKey(2)})
+    np.testing.assert_allclose(np.asarray(out_j["slots"]),
+                               out_t["slots"].numpy(), rtol=2e-4,
+                               atol=2e-5)
+    # flax masks [B, N, H, W] == torch masks [B, N, H, W]
+    np.testing.assert_allclose(np.asarray(out_j["masks"]),
+                               out_t["masks"].numpy(), rtol=2e-4,
+                               atol=1e-5)
+
+    # --- composed denoise loss with pinned t/noise on both sides ---
+    t_fix = np.array([7, 33], np.int64)
+    noise_fix = rng.randn(2, 3, 64, 64).astype(np.float32)
+
+    monkeypatch.setattr(
+        torch, "randint",
+        lambda low, high, size, **k: torch.tensor(t_fix))
+    monkeypatch.setattr(
+        torch, "randn_like", lambda x: torch.tensor(noise_fix))
+    with torch.no_grad():
+        loss_t = tm.calc_train_loss(dd_t, out_t)["denoise_loss"].item()
+
+    import slotdiffusion_tpu.models.diffusion as jdiff
+    noise_j = jnp.asarray(np.transpose(noise_fix, (0, 2, 3, 1)))
+    monkeypatch.setattr(jdiff.jax.random, "randint",
+                        lambda key, shape, lo, hi: jnp.asarray(t_fix))
+    monkeypatch.setattr(jdiff.jax.random, "normal",
+                        lambda key, shape, dtype=jnp.float32: noise_j)
+    _, losses_j = jm.apply(variables, dd_j, train=False,
+                           rngs={"diffusion": jax.random.PRNGKey(3)},
+                           method=SADiffusion.compute_losses)
+    np.testing.assert_allclose(float(losses_j["denoise_loss"]), loss_t,
+                               rtol=5e-4)
+
+
+def test_savi_diffusion_full_model_matches_reference(monkeypatch):
+    """END-TO-END SAViDiffusion (video_based/models/savi_diffusion.py:
+    74-302): SAVi recurrence with WMask attention masks over T frames,
+    then the CondDDPM denoise loss on B*T flattened frames each
+    conditioned on its own frame's slots — randomness pinned on both
+    sides."""
+    ref_svd = ref_import("savi_diffusion")
+    from slotdiffusion_tpu.models.slot_diffusion import SAViDiffusion
+    from slotdiffusion_tpu.models.torch_convert import (
+        convert_torch_savi_diffusion)
+
+    unet_cfg = dict(in_channels=3, model_channels=32, out_channels=3,
+                    num_res_blocks=1, attention_resolutions=(2,),
+                    channel_mult=(1, 2), num_head_channels=16,
+                    context_dim=_SA_SLOT["slot_size"])
+    dec = dict(resolution=(64, 64), unet_dict=dict(unet_cfg),
+               use_ema=False, diffusion_dict=dict(_DIFF_CFG),
+               conditioning_key="crossattn", cond_stage_key="slots")
+    pred = dict(pred_type="transformer", pred_rnn=False,
+                pred_norm_first=True, pred_num_layers=1, pred_num_heads=4,
+                pred_ffn_dim=64, pred_sg_every=None)
+    torch.manual_seed(131)
+    tm = ref_svd.SAViDiffusion(
+        resolution=(64, 64), clip_len=6, slot_dict=dict(_SA_SLOT),
+        enc_dict=dict(_SA_ENC), dec_dict=dict(dec), pred_dict=dict(pred),
+        loss_dict=dict(use_denoise_loss=True))
+    tm.eval()
+    with torch.no_grad():
+        for name, p in tm.named_parameters():
+            if p.abs().max() == 0:
+                p.copy_(torch.randn_like(p) * 0.02)
+
+    params = convert_torch_savi_diffusion(
+        tm.state_dict(), num_enc_layers=len(_SA_ENC["enc_channels"]) - 1,
+        pred_num_layers=1, pred_num_heads=4, num_res_blocks=1,
+        channel_mult=(1, 2), attention_resolutions=(2,))
+    jm = SAViDiffusion(
+        resolution=(64, 64), clip_len=6, slot_dict=dict(_SA_SLOT),
+        enc_dict=dict(_SA_ENC),
+        dec_dict=dict(dec, unet_dict=dict(unet_cfg,
+                                          attn_softmax="stable")),
+        pred_dict=dict(pred), loss_dict=dict(use_denoise_loss=True))
+    init = jm.init({"params": jax.random.PRNGKey(0),
+                    "diffusion": jax.random.PRNGKey(1)},
+                   {"img": jnp.zeros((1, 2, 64, 64, 3))},
+                   method=SAViDiffusion.compute_losses)
+    _tree_paths_match(init["params"], params)
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+    B, T = 2, 3
+    rng = np.random.RandomState(132)
+    x = rng.rand(B, T, 3, 64, 64).astype(np.float32) * 2 - 1
+    dd_t = {"img": torch.tensor(x)}
+    dd_j = {"img": jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))}
+
+    with torch.no_grad():
+        out_t = tm(dd_t)
+    out_j = jm.apply(variables, dd_j, train=False,
+                     rngs={"diffusion": jax.random.PRNGKey(2)})
+    np.testing.assert_allclose(np.asarray(out_j["slots"]),
+                               out_t["slots"].numpy(), rtol=5e-4,
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(out_j["masks"]),
+                               out_t["masks"].numpy(), rtol=5e-4,
+                               atol=2e-5)
+
+    t_fix = np.array([3, 17, 29, 41, 8, 46], np.int64)  # B*T
+    noise_fix = rng.randn(B * T, 3, 64, 64).astype(np.float32)
+    monkeypatch.setattr(
+        torch, "randint",
+        lambda low, high, size, **k: torch.tensor(t_fix))
+    monkeypatch.setattr(
+        torch, "randn_like", lambda x: torch.tensor(noise_fix))
+    with torch.no_grad():
+        loss_t = tm.calc_train_loss(dd_t, out_t)["denoise_loss"].item()
+
+    import slotdiffusion_tpu.models.diffusion as jdiff
+    noise_j = jnp.asarray(np.transpose(noise_fix, (0, 2, 3, 1)))
+    monkeypatch.setattr(jdiff.jax.random, "randint",
+                        lambda key, shape, lo, hi: jnp.asarray(t_fix))
+    monkeypatch.setattr(jdiff.jax.random, "normal",
+                        lambda key, shape, dtype=jnp.float32: noise_j)
+    _, losses_j = jm.apply(variables, dd_j, train=False,
+                           rngs={"diffusion": jax.random.PRNGKey(3)},
+                           method=SAViDiffusion.compute_losses)
+    np.testing.assert_allclose(float(losses_j["denoise_loss"]), loss_t,
+                               rtol=5e-4)

@@ -272,3 +272,64 @@ def test_savi_full_model_export_roundtrip():
                       slot_dict=dict(slot), enc_dict=dict(enc),
                       dec_dict=dict(dec), pred_dict=dict(pred),
                       loss_dict=dict(use_img_recon_loss=True)), out)
+
+
+_SD_UNET = dict(in_channels=3, model_channels=32, out_channels=3,
+                num_res_blocks=1, attention_resolutions=(2,),
+                channel_mult=(1, 2), num_head_channels=16, context_dim=32)
+_SD_SLOT = dict(num_slots=4, slot_size=32, slot_mlp_size=64,
+                num_iterations=2)
+_SD_ENC = dict(enc_channels=(3, 16, 16), enc_ks=5, enc_out_channels=32,
+               enc_norm="")
+
+
+def _sd_dec():
+    # fresh nested dicts per construction: the reference ctor pops keys
+    # out of diffusion_dict in place (ddpm.py:53-60)
+    return dict(resolution=(64, 64), unet_dict=dict(_SD_UNET),
+                use_ema=False,
+                diffusion_dict=dict(pred_target="eps", timesteps=50,
+                                    beta_schedule="linear",
+                                    linear_start=1e-4, linear_end=2e-2,
+                                    cosine_s=8e-3, log_every_t=10),
+                conditioning_key="crossattn", cond_stage_key="slots")
+
+
+def test_sa_diffusion_export_roundtrip():
+    ref_sd = ref_img_import("sa_diffusion")
+    torch.manual_seed(13)
+    tm = ref_sd.SADiffusion(resolution=(64, 64), slot_dict=dict(_SD_SLOT),
+                            enc_dict=dict(_SD_ENC), dec_dict=_sd_dec(),
+                            loss_dict=dict(use_denoise_loss=True))
+    tree = tc.convert_torch_sa_diffusion(
+        tm.state_dict(), num_enc_layers=2, num_res_blocks=1,
+        channel_mult=(1, 2), attention_resolutions=(2,))
+    out = te.export_torch_sa_diffusion(
+        tree, num_enc_layers=2, num_res_blocks=1, channel_mult=(1, 2),
+        attention_resolutions=(2,))
+    _roundtrip(tm, tree, out)
+    _load_back(
+        ref_sd.SADiffusion(resolution=(64, 64), slot_dict=dict(_SD_SLOT),
+                           enc_dict=dict(_SD_ENC), dec_dict=_sd_dec(),
+                           loss_dict=dict(use_denoise_loss=True)), out)
+
+
+def test_savi_diffusion_export_roundtrip():
+    ref_svd = ref_import("savi_diffusion")
+    dec = _sd_dec()
+    pred = dict(pred_type="transformer", pred_rnn=False,
+                pred_norm_first=True, pred_num_layers=1, pred_num_heads=4,
+                pred_ffn_dim=64, pred_sg_every=None)
+    torch.manual_seed(14)
+    tm = ref_svd.SAViDiffusion(
+        resolution=(64, 64), clip_len=6, slot_dict=dict(_SD_SLOT),
+        enc_dict=dict(_SD_ENC), dec_dict=dict(dec), pred_dict=dict(pred),
+        loss_dict=dict(use_denoise_loss=True))
+    tree = tc.convert_torch_savi_diffusion(
+        tm.state_dict(), num_enc_layers=2, pred_num_layers=1,
+        pred_num_heads=4, num_res_blocks=1, channel_mult=(1, 2),
+        attention_resolutions=(2,))
+    out = te.export_torch_savi_diffusion(
+        tree, num_enc_layers=2, pred_num_layers=1, pred_num_heads=4,
+        num_res_blocks=1, channel_mult=(1, 2), attention_resolutions=(2,))
+    _roundtrip(tm, tree, out)
