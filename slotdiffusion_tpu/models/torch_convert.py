@@ -310,6 +310,42 @@ def convert_torch_savi_diffusion(state_dict, num_enc_layers,
     }
 
 
+def _sub_state(sd, prefix):
+    return {k[len(prefix):]: v for k, v in sd.items()
+            if k.startswith(prefix)}
+
+
+def convert_torch_slate(state_dict, num_enc_layers, dec_num_layers):
+    """Full reference SLATE (img_based/models/slate/slate.py:16-200) ->
+    flax `models.slate.SLATE` params: SA encode side + frozen dVAE +
+    SLATETransformerDecoder."""
+    sd = numpy_state_dict(state_dict)
+    params = _sa_encoder_side(sd, num_enc_layers)
+    params["dvae"] = convert_torch_dvae(_sub_state(sd, "dvae."))
+    params["trans_decoder"] = convert_torch_steve_transformer(
+        _sub_state(sd, "trans_decoder."), num_layers=dec_num_layers)
+    return params
+
+
+def convert_torch_steve(state_dict, num_enc_layers, pred_num_layers,
+                        pred_num_heads, dec_num_layers):
+    """Full reference STEVE (video_based/models/steve/steve.py:16-279,
+    transformer predictor without the RNN wrapper) -> flax
+    `models.slate.STEVE` params: SAVi encode side (nested under `savi`)
+    + frozen dVAE + STEVETransformerDecoder."""
+    sd = numpy_state_dict(state_dict)
+    savi = _sa_encoder_side(sd, num_enc_layers)
+    savi["predictor"] = convert_torch_transformer_predictor(
+        _sub_state(sd, "predictor."), num_layers=pred_num_layers,
+        num_heads=pred_num_heads)
+    return {
+        "savi": savi,
+        "dvae": convert_torch_dvae(_sub_state(sd, "dvae.")),
+        "trans_decoder": convert_torch_steve_transformer(
+            _sub_state(sd, "trans_decoder."), num_layers=dec_num_layers),
+    }
+
+
 def convert_torch_savi(state_dict, num_enc_layers, num_dec_layers,
                        pred_num_layers, pred_num_heads):
     """Full reference SAVi video model (video_based/models/savi.py:117-565,

@@ -274,6 +274,37 @@ def export_torch_savi_diffusion(params, num_enc_layers, pred_num_layers,
     return out
 
 
+def export_torch_slate(params, num_enc_layers, dec_num_layers):
+    """flax `models.slate.SLATE` params -> reference SLATE state_dict
+    (img_based/models/slate/slate.py:16-200)."""
+    out: Dict[str, np.ndarray] = {}
+    _inv_sa_encoder_side(out, params, num_enc_layers)
+    for k, v in export_torch_dvae(params["dvae"]).items():
+        out[f"dvae.{k}"] = v
+    for k, v in export_torch_steve_transformer(
+            params["trans_decoder"], num_layers=dec_num_layers).items():
+        out[f"trans_decoder.{k}"] = v
+    return out
+
+
+def export_torch_steve(params, num_enc_layers, pred_num_layers,
+                       pred_num_heads, dec_num_layers):
+    """flax `models.slate.STEVE` params -> reference STEVE state_dict
+    (video_based/models/steve/steve.py:16-279)."""
+    out: Dict[str, np.ndarray] = {}
+    savi = params["savi"]
+    _inv_sa_encoder_side(out, savi, num_enc_layers)
+    for k, v in export_torch_transformer_predictor(
+            savi["predictor"], pred_num_layers, pred_num_heads).items():
+        out[f"predictor.{k}"] = v
+    for k, v in export_torch_dvae(params["dvae"]).items():
+        out[f"dvae.{k}"] = v
+    for k, v in export_torch_steve_transformer(
+            params["trans_decoder"], num_layers=dec_num_layers).items():
+        out[f"trans_decoder.{k}"] = v
+    return out
+
+
 def export_torch_savi(params, num_enc_layers, num_dec_layers,
                       pred_num_layers, pred_num_heads):
     """flax `models.savi.SAVi` params -> reference SAVi video model

@@ -1519,3 +1519,139 @@ def test_savi_diffusion_full_model_matches_reference(monkeypatch):
                            method=SAViDiffusion.compute_losses)
     np.testing.assert_allclose(float(losses_j["denoise_loss"]), loss_t,
                                rtol=5e-4)
+
+
+_TOK_DEC = dict(dec_type="slate", dec_num_layers=2, dec_num_heads=4,
+                dec_d_model=32)
+_DVAE = dict(down_factor=4, vocab_size=16, dvae_ckp_path="")
+
+
+def test_slate_full_model_matches_reference():
+    """END-TO-END SLATE (img_based/models/slate/slate.py:16-200): SA
+    encode side + frozen dVAE tokenize + BOS-shifted AR transformer over
+    token ids + token cross-entropy — all deterministic, so slots, masks,
+    token logits, targets and the CE loss must match on converted
+    weights."""
+    ref_slate = ref_img_import("slate.slate")
+    from slotdiffusion_tpu.models.slate import SLATE
+    from slotdiffusion_tpu.models.torch_convert import convert_torch_slate
+
+    torch.manual_seed(141)
+    tm = ref_slate.SLATE(resolution=(64, 64), slot_dict=dict(_SA_SLOT),
+                         dvae_dict=dict(_DVAE), enc_dict=dict(_SA_ENC),
+                         dec_dict=dict(_TOK_DEC),
+                         loss_dict=dict(use_img_recon_loss=False))
+    tm.eval()
+    params = convert_torch_slate(
+        tm.state_dict(), num_enc_layers=len(_SA_ENC["enc_channels"]) - 1,
+        dec_num_layers=_TOK_DEC["dec_num_layers"])
+    jm = SLATE(resolution=(64, 64), slot_dict=dict(_SA_SLOT),
+               dvae_dict=dict(_DVAE), enc_dict=dict(_SA_ENC),
+               dec_dict=dict(_TOK_DEC),
+               loss_dict=dict(use_img_recon_loss=False))
+    init = jm.init(jax.random.PRNGKey(0),
+                   {"img": jnp.zeros((1, 64, 64, 3))})
+    _tree_paths_match(init["params"], params)
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+    rng = np.random.RandomState(142)
+    x = rng.rand(2, 3, 64, 64).astype(np.float32)
+    dd_t = {"img": torch.tensor(x)}
+    dd_j = {"img": jnp.asarray(np.transpose(x, (0, 2, 3, 1)))}
+    with torch.no_grad():
+        out_t = tm(dd_t)
+        loss_t = tm.calc_train_loss(dd_t, out_t)["token_recon_loss"].item()
+    out_j, losses_j = jm.apply(variables, dd_j, train=False,
+                               method=SLATE.compute_losses)
+    np.testing.assert_allclose(np.asarray(out_j["slots"]),
+                               out_t["slots"].numpy(), rtol=2e-4,
+                               atol=2e-5)
+    assert np.array_equal(np.asarray(out_j["target_token_id"]),
+                          out_t["target_token_id"].numpy())
+    np.testing.assert_allclose(np.asarray(out_j["pred_token_id"]),
+                               out_t["pred_token_id"].numpy(), rtol=2e-3,
+                               atol=2e-4)
+    np.testing.assert_allclose(float(losses_j["token_recon_loss"]), loss_t,
+                               rtol=5e-4)
+
+    # AR reconstruction: greedy generate -> hard one-hot detokenize.
+    # The reference's recon_img hardcodes .cuda() (slate.py:182); replay
+    # its exact math (generate -> make_one_hot(argmax) -> detokenize) on
+    # CPU instead.
+    ref_sutils = ref_img_import("slate.slate_utils")
+    with torch.no_grad():
+        _, logits_gen = tm.trans_decoder.generate(
+            out_t["slots"], steps=tm.num_patches, sample=False)
+        lg = logits_gen.transpose(2, 1).unflatten(-1, (tm.h, tm.w))
+        z_hard = ref_sutils.make_one_hot(lg.contiguous(), dim=1)
+        rec_t = tm.dvae.detokenize(z_hard).numpy()
+    rec_j = jm.apply(variables, jnp.asarray(np.asarray(out_j["slots"])),
+                     method=SLATE.recon_img)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(rec_j), (0, 3, 1, 2)), rec_t,
+        rtol=2e-3, atol=2e-4)
+
+
+def test_steve_full_model_matches_reference():
+    """END-TO-END STEVE (video_based/models/steve/steve.py:16-279): SAVi
+    recurrence + frozen dVAE tokenize over frames + AR transformer on B*T
+    flattened tokens + CE loss; plus the precomputed-token_id input path
+    (steve.py:191-197)."""
+    ref_steve = ref_import("steve.steve")
+    from slotdiffusion_tpu.models.slate import STEVE
+    from slotdiffusion_tpu.models.torch_convert import convert_torch_steve
+
+    pred = dict(pred_type="transformer", pred_rnn=False,
+                pred_norm_first=True, pred_num_layers=1, pred_num_heads=4,
+                pred_ffn_dim=64, pred_sg_every=None)
+    torch.manual_seed(151)
+    tm = ref_steve.STEVE(resolution=(64, 64), clip_len=6,
+                         slot_dict=dict(_SA_SLOT), dvae_dict=dict(_DVAE),
+                         enc_dict=dict(_SA_ENC), dec_dict=dict(_TOK_DEC),
+                         pred_dict=dict(pred),
+                         loss_dict=dict(use_img_recon_loss=False))
+    tm.eval()
+    params = convert_torch_steve(
+        tm.state_dict(), num_enc_layers=len(_SA_ENC["enc_channels"]) - 1,
+        pred_num_layers=1, pred_num_heads=4,
+        dec_num_layers=_TOK_DEC["dec_num_layers"])
+    jm = STEVE(resolution=(64, 64), clip_len=6, slot_dict=dict(_SA_SLOT),
+               dvae_dict=dict(_DVAE), enc_dict=dict(_SA_ENC),
+               dec_dict=dict(_TOK_DEC), pred_dict=dict(pred),
+               loss_dict=dict(use_img_recon_loss=False))
+    init = jm.init(jax.random.PRNGKey(0),
+                   {"img": jnp.zeros((1, 2, 64, 64, 3))})
+    _tree_paths_match(init["params"], params)
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+    B, T = 2, 3
+    rng = np.random.RandomState(152)
+    x = rng.rand(B, T, 3, 64, 64).astype(np.float32)
+    dd_t = {"img": torch.tensor(x)}
+    dd_j = {"img": jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))}
+    with torch.no_grad():
+        out_t = tm(dd_t)
+        loss_t = tm.calc_train_loss(dd_t, out_t)["token_recon_loss"].item()
+    out_j, losses_j = jm.apply(variables, dd_j, train=False,
+                               method=STEVE.compute_losses)
+    np.testing.assert_allclose(np.asarray(out_j["slots"]),
+                               out_t["slots"].numpy(), rtol=5e-4,
+                               atol=5e-5)
+    assert np.array_equal(np.asarray(out_j["target_token_id"]),
+                          out_t["target_token_id"].numpy())
+    np.testing.assert_allclose(np.asarray(out_j["pred_token_id"]),
+                               out_t["pred_token_id"].numpy(), rtol=2e-3,
+                               atol=2e-4)
+    np.testing.assert_allclose(float(losses_j["token_recon_loss"]), loss_t,
+                               rtol=5e-4)
+
+    # precomputed token_id input path (steve.py:191-197)
+    tok = np.asarray(out_t["target_token_id"].numpy()).reshape(B, T, -1)
+    dd_t2 = {"img": torch.tensor(x), "token_id": torch.tensor(tok)}
+    dd_j2 = dict(dd_j, token_id=jnp.asarray(tok))
+    with torch.no_grad():
+        out_t2 = tm(dd_t2)
+    out_j2 = jm.apply(variables, dd_j2, train=False)
+    np.testing.assert_allclose(np.asarray(out_j2["pred_token_id"]),
+                               out_t2["pred_token_id"].numpy(), rtol=2e-3,
+                               atol=2e-4)

@@ -333,3 +333,45 @@ def test_savi_diffusion_export_roundtrip():
         tree, num_enc_layers=2, pred_num_layers=1, pred_num_heads=4,
         num_res_blocks=1, channel_mult=(1, 2), attention_resolutions=(2,))
     _roundtrip(tm, tree, out)
+
+
+_TOK_DEC = dict(dec_type="slate", dec_num_layers=2, dec_num_heads=4,
+                dec_d_model=32)
+_DVAE_D = dict(down_factor=4, vocab_size=16, dvae_ckp_path="")
+
+
+def test_slate_export_roundtrip():
+    ref_slate = ref_img_import("slate.slate")
+    torch.manual_seed(15)
+    tm = ref_slate.SLATE(resolution=(64, 64), slot_dict=dict(_SD_SLOT),
+                         dvae_dict=dict(_DVAE_D), enc_dict=dict(_SD_ENC),
+                         dec_dict=dict(_TOK_DEC),
+                         loss_dict=dict(use_img_recon_loss=False))
+    tree = tc.convert_torch_slate(tm.state_dict(), num_enc_layers=2,
+                                  dec_num_layers=2)
+    out = te.export_torch_slate(tree, num_enc_layers=2, dec_num_layers=2)
+    _roundtrip(tm, tree, out)
+    _load_back(
+        ref_slate.SLATE(resolution=(64, 64), slot_dict=dict(_SD_SLOT),
+                        dvae_dict=dict(_DVAE_D), enc_dict=dict(_SD_ENC),
+                        dec_dict=dict(_TOK_DEC),
+                        loss_dict=dict(use_img_recon_loss=False)), out)
+
+
+def test_steve_export_roundtrip():
+    ref_steve = ref_import("steve.steve")
+    pred = dict(pred_type="transformer", pred_rnn=False,
+                pred_norm_first=True, pred_num_layers=1, pred_num_heads=4,
+                pred_ffn_dim=64, pred_sg_every=None)
+    torch.manual_seed(16)
+    tm = ref_steve.STEVE(resolution=(64, 64), clip_len=6,
+                         slot_dict=dict(_SD_SLOT), dvae_dict=dict(_DVAE_D),
+                         enc_dict=dict(_SD_ENC), dec_dict=dict(_TOK_DEC),
+                         pred_dict=dict(pred),
+                         loss_dict=dict(use_img_recon_loss=False))
+    tree = tc.convert_torch_steve(tm.state_dict(), num_enc_layers=2,
+                                  pred_num_layers=1, pred_num_heads=4,
+                                  dec_num_layers=2)
+    out = te.export_torch_steve(tree, num_enc_layers=2, pred_num_layers=1,
+                                pred_num_heads=4, dec_num_layers=2)
+    _roundtrip(tm, tree, out)
