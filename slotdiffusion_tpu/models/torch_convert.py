@@ -346,6 +346,48 @@ def convert_torch_steve(state_dict, num_enc_layers, pred_num_layers,
     }
 
 
+def convert_torch_ldm(state_dict, enc_dec_dict, num_res_blocks,
+                      channel_mult, attention_resolutions,
+                      resblock_updown=False, transformer_depth=1):
+    """Reference LDM (ddpm/ldm.py:18-137): denoising UNet
+    (`model.diffusion_model`) + frozen VQ-VAE first stage (`vae.vqvae`)
+    -> flax `models.diffusion.LDM` params."""
+    sd = numpy_state_dict(state_dict)
+    return {
+        "unet": convert_torch_unet(
+            _sub_state(sd, "model.diffusion_model."),
+            num_res_blocks=num_res_blocks, channel_mult=channel_mult,
+            attention_resolutions=attention_resolutions,
+            resblock_updown=resblock_updown,
+            transformer_depth=transformer_depth),
+        "vae": {"vqvae": convert_torch_vqvae(
+            _sub_state(sd, "vae.vqvae."), enc_dec_dict)},
+    }
+
+
+def convert_torch_ldm_slotformer(state_dict, enc_dec_dict,
+                                 rollout_num_layers, rollout_num_heads,
+                                 num_res_blocks, channel_mult,
+                                 attention_resolutions,
+                                 resblock_updown=False,
+                                 transformer_depth=1):
+    """Full reference LDMSlotFormer (vp_vqa/models/ldm_slotformer.py:
+    15-215): SlotRollouter dynamics + frozen slot-conditioned LDM decoder
+    -> flax `models.slotformer.LDMSlotFormer` params."""
+    sd = numpy_state_dict(state_dict)
+    return {
+        "rollouter": convert_torch_slot_rollouter(
+            _sub_state(sd, "rollouter."), num_layers=rollout_num_layers,
+            num_heads=rollout_num_heads),
+        "dm_decoder": convert_torch_ldm(
+            _sub_state(sd, "dm_decoder."), enc_dec_dict,
+            num_res_blocks=num_res_blocks, channel_mult=channel_mult,
+            attention_resolutions=attention_resolutions,
+            resblock_updown=resblock_updown,
+            transformer_depth=transformer_depth),
+    }
+
+
 def convert_torch_savi(state_dict, num_enc_layers, num_dec_layers,
                        pred_num_layers, pred_num_heads):
     """Full reference SAVi video model (video_based/models/savi.py:117-565,

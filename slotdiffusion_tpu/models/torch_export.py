@@ -305,6 +305,50 @@ def export_torch_steve(params, num_enc_layers, pred_num_layers,
     return out
 
 
+def export_torch_ldm(params, enc_dec_dict, num_res_blocks, channel_mult,
+                     attention_resolutions, resblock_updown=False,
+                     transformer_depth=1):
+    """flax `models.diffusion.LDM` params -> reference LDM state_dict
+    (ddpm/ldm.py:18-137). Schedule buffers / LitEma are rebuilt by the
+    torch ctor — load with strict=False."""
+    out: Dict[str, np.ndarray] = {}
+    unet = export_torch_unet(
+        params["unet"], num_res_blocks=num_res_blocks,
+        channel_mult=channel_mult,
+        attention_resolutions=attention_resolutions,
+        resblock_updown=resblock_updown,
+        transformer_depth=transformer_depth)
+    for k, v in unet.items():
+        out[f"model.diffusion_model.{k}"] = v
+    for k, v in export_torch_vqvae(params["vae"]["vqvae"],
+                                   enc_dec_dict).items():
+        out[f"vae.vqvae.{k}"] = v
+    return out
+
+
+def export_torch_ldm_slotformer(params, enc_dec_dict, rollout_num_layers,
+                                rollout_num_heads, num_res_blocks,
+                                channel_mult, attention_resolutions,
+                                resblock_updown=False,
+                                transformer_depth=1):
+    """flax `models.slotformer.LDMSlotFormer` params -> reference
+    LDMSlotFormer state_dict (vp_vqa/models/ldm_slotformer.py:15-215)."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in export_torch_slot_rollouter(
+            {"step": params["rollouter"]["step"]},
+            num_layers=rollout_num_layers,
+            num_heads=rollout_num_heads).items():
+        out[f"rollouter.{k}"] = v
+    for k, v in export_torch_ldm(
+            params["dm_decoder"], enc_dec_dict,
+            num_res_blocks=num_res_blocks, channel_mult=channel_mult,
+            attention_resolutions=attention_resolutions,
+            resblock_updown=resblock_updown,
+            transformer_depth=transformer_depth).items():
+        out[f"dm_decoder.{k}"] = v
+    return out
+
+
 def export_torch_savi(params, num_enc_layers, num_dec_layers,
                       pred_num_layers, pred_num_heads):
     """flax `models.savi.SAVi` params -> reference SAVi video model

@@ -336,9 +336,12 @@ class VQVAE(nn.Module):
 class VQVAEWrapper(nn.Module):
     """Frozen z-scaled first stage for the LDM (VQVAE.py:155-194).
 
-    The z scale multiplies encoded latents and divides before decode/quantize
-    so the diffusion operates on unit-ish variance latents.
-    """
+    Encoded latents are DIVIDED by `scale_factor` (VQVAE.py:184 —
+    `z_scale_factor` is calibrated to the latent std, so dividing
+    normalizes the diffusion space to unit-ish variance) and multiplied
+    back before decode/quantize. Every published config ships
+    z_scale_factor=1.0, but the direction matters for parity with
+    reference checkpoints trained at other values."""
 
     enc_dec_dict: Dict
     vq_dict: Dict
@@ -350,21 +353,27 @@ class VQVAEWrapper(nn.Module):
                            vq_dict=self.vq_dict, dtype=self.dtype)
 
     def encode(self, x):
-        return self.vqvae.encode(x) * self.scale_factor
+        return self.vqvae.encode(x) / self.scale_factor
 
-    def decode(self, z):
-        return self.vqvae.decode(z / self.scale_factor)
+    def decode(self, z, quantize=True):
+        """Decode latents; `quantize=True` (the reference default,
+        VQVAE.py:186-190) snaps to the nearest codebook entries first —
+        DPM/DDIM-sampled latents are unquantized continuous values, so
+        skipping the snap decodes off-manifold latents."""
+        if quantize:
+            return self.vqvae.quantize_decode(z * self.scale_factor)
+        return self.vqvae.decode(z * self.scale_factor)
 
     def quantize(self, z):
         """Quantize scaled latents (used as vq_denoised correction +
-        quantize_decode path)."""
-        z = z / self.scale_factor
+        quantize_decode path); VQVAE.py:192-194."""
+        z = z * self.scale_factor
         z, bt = _temporal_flatten(z)
         z_q = self.vqvae.quantize.quantize_only(z)
-        return _temporal_unflatten(z_q, bt) * self.scale_factor
+        return _temporal_unflatten(z_q, bt) / self.scale_factor
 
     def quantize_decode(self, z):
-        return self.vqvae.quantize_decode(z / self.scale_factor)
+        return self.vqvae.quantize_decode(z * self.scale_factor)
 
     def __call__(self, x):
         """Init helper: run encode+quantize+decode to create all params."""

@@ -134,12 +134,30 @@ def load_ref_package():
 REF_VP_MODELS = "/root/reference/slotdiffusion/vp_vqa/models"
 
 
+def _install_video_models_alias():
+    """Register `slotdiffusion.video_based.models` as an importable package
+    over the reference models dir — img_based and vp_vqa modules re-export
+    through ABSOLUTE imports of that path (img resnet.py:1,
+    ldm_slotformer.py:10-11)."""
+    if "slotdiffusion.video_based.models" in sys.modules:
+        return
+    _stub_module("slotdiffusion")
+    _stub_module("slotdiffusion.video_based")
+    spec = importlib.machinery.ModuleSpec(
+        "slotdiffusion.video_based.models", None, origin=REF_MODELS,
+        is_package=True)
+    spec.submodule_search_locations = [REF_MODELS]
+    pkg = importlib.util.module_from_spec(spec)
+    sys.modules["slotdiffusion.video_based.models"] = pkg
+
+
 def load_ref_vp_package():
     """Same as load_ref_package but over the vp_vqa models tree
     (slotformer.py, readout.py, ldm_slotformer.py)."""
     if "refvpmodels" in sys.modules:
         return sys.modules["refvpmodels"]
     _install_stubs()
+    _install_video_models_alias()
     spec = importlib.machinery.ModuleSpec(
         "refvpmodels", None, origin=REF_VP_MODELS, is_package=True)
     spec.submodule_search_locations = [REF_VP_MODELS]
@@ -163,19 +181,7 @@ def load_ref_img_package():
     if "refimgmodels" in sys.modules:
         return sys.modules["refimgmodels"]
     _install_stubs()
-    # img_based modules re-export through ABSOLUTE
-    # `slotdiffusion.video_based.models.*` imports (e.g. img resnet.py:1);
-    # alias that package path onto the reference models dir so the normal
-    # import machinery resolves them
-    if "slotdiffusion.video_based.models" not in sys.modules:
-        _stub_module("slotdiffusion")
-        _stub_module("slotdiffusion.video_based")
-        spec = importlib.machinery.ModuleSpec(
-            "slotdiffusion.video_based.models", None, origin=REF_MODELS,
-            is_package=True)
-        spec.submodule_search_locations = [REF_MODELS]
-        pkg = importlib.util.module_from_spec(spec)
-        sys.modules["slotdiffusion.video_based.models"] = pkg
+    _install_video_models_alias()
     spec = importlib.machinery.ModuleSpec(
         "refimgmodels", None, origin=REF_IMG_MODELS, is_package=True)
     spec.submodule_search_locations = [REF_IMG_MODELS]

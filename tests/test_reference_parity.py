@@ -1655,3 +1655,222 @@ def test_steve_full_model_matches_reference():
     np.testing.assert_allclose(np.asarray(out_j2["pred_token_id"]),
                                out_t2["pred_token_id"].numpy(), rtol=2e-3,
                                atol=2e-4)
+
+
+def test_ldm_full_model_matches_reference(monkeypatch):
+    """END-TO-END LDM (ddpm/ldm.py:18-137) with a NON-UNIT z_scale_factor:
+    frozen VQ-VAE encode (divide by scale, VQVAE.py:184), denoise loss in
+    latent space with pinned t/noise, and the full DPM sampling path with
+    quantize-as-denoise correction (clip_denoised=False, vq_denoised=True)
+    followed by VAE decode back to pixels."""
+    ref_ldm = ref_import("ddpm.ldm")
+    ref_cd = ref_import("ddpm.cond_ddpm")
+    from slotdiffusion_tpu.models.diffusion import LDM
+    from slotdiffusion_tpu.models.torch_convert import convert_torch_ldm
+
+    enc_dec = dict(resolution=32, in_channels=3, z_channels=4, ch=32,
+                   ch_mult=[1, 2], num_res_blocks=1,
+                   attn_resolutions=[16], out_ch=3, dropout=0.0)
+    vq = dict(n_embed=64, embed_dim=4)
+    unet_cfg = dict(in_channels=4, model_channels=32, out_channels=4,
+                    num_res_blocks=1, attention_resolutions=(2,),
+                    channel_mult=(1, 2), num_head_channels=16,
+                    context_dim=32)
+    diff = dict(_DIFF_CFG, z_scale_factor=1.25)
+
+    torch.manual_seed(161)
+    tm = ref_ldm.LDM(
+        resolution=(16, 16),
+        vae_dict=dict(vae_type="VQVAE", enc_dec_dict=dict(enc_dec),
+                      vq_dict=dict(vq), vqvae_ckp_path=""),
+        unet_dict=dict(unet_cfg), use_ema=False,
+        diffusion_dict=dict(diff), conditioning_key="crossattn",
+        cond_stage_key="slots")
+    tm.eval()
+    with torch.no_grad():
+        for name, p in tm.named_parameters():
+            if p.abs().max() == 0:
+                p.copy_(torch.randn_like(p) * 0.02)
+
+    params = convert_torch_ldm(
+        tm.state_dict(), enc_dec, num_res_blocks=1, channel_mult=(1, 2),
+        attention_resolutions=(2,))
+    jm = LDM(resolution=(16, 16),
+             unet_dict=dict(unet_cfg, attn_softmax="stable"),
+             vae_dict=dict(enc_dec_dict=enc_dec, vq_dict=vq),
+             diffusion_dict=dict(diff), conditioning_key="crossattn",
+             cond_stage_key="slots", use_ema=False)
+
+    rng = np.random.RandomState(162)
+    img = (rng.rand(2, 3, 32, 32).astype(np.float32) * 2 - 1)
+    slots = rng.randn(2, 5, 32).astype(np.float32)
+    img_j = jnp.asarray(np.transpose(img, (0, 2, 3, 1)))
+
+    init = jm.init({"params": jax.random.PRNGKey(0),
+                    "diffusion": jax.random.PRNGKey(1)},
+                   img_j, jnp.asarray(slots), method=LDM.loss_function)
+    _tree_paths_match(init["params"], params)
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+    # latent encode parity (includes the divide-by-scale direction)
+    with torch.no_grad():
+        z_t = tm.vae.encode(torch.tensor(img)).numpy()
+    z_j = jm.apply(variables, img_j, method=LDM.encode_latent)
+    np.testing.assert_allclose(np.transpose(np.asarray(z_j), (0, 3, 1, 2)),
+                               z_t, rtol=2e-4, atol=2e-5)
+
+    # denoise loss with pinned t/noise
+    t_fix = np.array([11, 37], np.int64)
+    noise_fix = rng.randn(2, 4, 16, 16).astype(np.float32)
+    monkeypatch.setattr(
+        torch, "randint",
+        lambda low, high, size, **k: torch.tensor(t_fix))
+    monkeypatch.setattr(
+        torch, "randn_like", lambda x: torch.tensor(noise_fix))
+    with torch.no_grad():
+        loss_t = tm.loss_function(
+            {"img": torch.tensor(img),
+             "slots": torch.tensor(slots)})["denoise_loss"].item()
+    import slotdiffusion_tpu.models.diffusion as jdiff
+    noise_j = jnp.asarray(np.transpose(noise_fix, (0, 2, 3, 1)))
+    monkeypatch.setattr(jdiff.jax.random, "randint",
+                        lambda key, shape, lo, hi: jnp.asarray(t_fix))
+    monkeypatch.setattr(jdiff.jax.random, "normal",
+                        lambda key, shape, dtype=jnp.float32: noise_j)
+    losses_j = jm.apply(variables, img_j, jnp.asarray(slots),
+                        rngs={"diffusion": jax.random.PRNGKey(2)},
+                        method=LDM.loss_function)
+    np.testing.assert_allclose(float(losses_j["denoise_loss"]), loss_t,
+                               rtol=5e-4)
+    monkeypatch.undo()
+
+    # DPM sampling with quantize-as-denoise + decode back to pixels
+    x_T = rng.randn(2, 4, 16, 16).astype(np.float32)
+    monkeypatch.setattr(ref_cd, "noise_like",
+                        _fixed_noise_like(torch.tensor(x_T)))
+    with torch.no_grad():
+        lat_t = tm.generate_imgs(cond=torch.tensor(slots), batch_size=2,
+                                 use_dpm=True, verbose=False)
+        dec_t = tm.vae.decode(lat_t).numpy()
+    lat_j = jm.apply(variables, jax.random.PRNGKey(0),
+                     cond=jnp.asarray(slots), batch_size=2,
+                     x_T=jnp.asarray(np.transpose(x_T, (0, 2, 3, 1))),
+                     method=LDM.sample_dpm)
+    dec_j = jm.apply(variables, lat_j, method=LDM.decode_latent)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(lat_j), (0, 3, 1, 2)), lat_t.numpy(),
+        rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(dec_j), (0, 3, 1, 2)), dec_t,
+        rtol=5e-3, atol=5e-3)
+
+
+def test_ldm_slotformer_full_model_matches_reference(monkeypatch):
+    """END-TO-END LDMSlotFormer (vp_vqa/models/ldm_slotformer.py:15-215):
+    burn-in window rollout + slot MSE loss (deterministic), then the
+    frozen-LDM decode chain (DPM sampling with pinned x_T, quantize-as-
+    denoise, VAE decode) on the rolled-out slots."""
+    ref_lsf = ref_vp_import("ldm_slotformer")
+    ref_cd = ref_import("ddpm.cond_ddpm")
+    import slotdiffusion_tpu.models.diffusion as jdiff
+    from slotdiffusion_tpu.models.slotformer import LDMSlotFormer
+    from slotdiffusion_tpu.models.torch_convert import (
+        convert_torch_ldm_slotformer)
+
+    N, C = 4, 32
+    enc_dec = dict(resolution=32, in_channels=3, z_channels=4, ch=32,
+                   ch_mult=[1, 2], num_res_blocks=1,
+                   attn_resolutions=[], out_ch=3, dropout=0.0)
+    vq = dict(n_embed=64, embed_dim=4)
+    unet_cfg = dict(in_channels=4, model_channels=32, out_channels=4,
+                    num_res_blocks=1, attention_resolutions=(2,),
+                    channel_mult=(1, 2), num_head_channels=16,
+                    context_dim=C)
+    rollout = dict(num_slots=N, slot_size=C, history_len=3, t_pe="sin",
+                   slots_pe="", d_model=32, num_layers=2, num_heads=4,
+                   ffn_dim=64, norm_first=True)
+
+    def mk_dec():
+        return dict(resolution=(16, 16),
+                    vae_dict=dict(vae_type="VQVAE",
+                                  enc_dec_dict=dict(enc_dec),
+                                  vq_dict=dict(vq), vqvae_ckp_path=""),
+                    unet_dict=dict(unet_cfg), use_ema=False,
+                    diffusion_dict=dict(_DIFF_CFG, z_scale_factor=1.0),
+                    conditioning_key="crossattn", cond_stage_key="slots",
+                    dec_ckp_path="")
+
+    torch.manual_seed(171)
+    tm = ref_lsf.LDMSlotFormer(
+        resolution=(16, 16), clip_len=6,
+        slot_dict=dict(num_slots=N, slot_size=C, slot_mlp_size=2 * C,
+                       num_iterations=2),
+        dec_dict=mk_dec(), rollout_dict=dict(rollout),
+        loss_dict=dict(rollout_len=4, use_img_recon_loss=False,
+                       use_denoise_loss=False))
+    tm.eval()
+    with torch.no_grad():
+        for name, p in tm.named_parameters():
+            if p.abs().max() == 0:
+                p.copy_(torch.randn_like(p) * 0.02)
+
+    params = convert_torch_ldm_slotformer(
+        tm.state_dict(), enc_dec, rollout_num_layers=2,
+        rollout_num_heads=4, num_res_blocks=1, channel_mult=(1, 2),
+        attention_resolutions=(2,))
+    jdec = mk_dec()
+    jdec["unet_dict"] = dict(unet_cfg, attn_softmax="stable")
+    jm = LDMSlotFormer(
+        resolution=(16, 16), clip_len=6,
+        slot_dict=dict(num_slots=N, slot_size=C),
+        dec_dict=jdec, rollout_dict=dict(rollout),
+        loss_dict=dict(rollout_len=4, use_img_recon_loss=False))
+    init = jm.init({"params": jax.random.PRNGKey(0),
+                    "diffusion": jax.random.PRNGKey(1)},
+                   {"slots": jnp.zeros((1, 7, N, C))})
+    _tree_paths_match(init["params"], params)
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+    rng = np.random.RandomState(172)
+    slots = rng.randn(2, 7, N, C).astype(np.float32)  # history 3 + 4
+    dd_t = {"slots": torch.tensor(slots)}
+    with torch.no_grad():
+        out_t = tm(dd_t)
+        loss_t = tm.calc_train_loss(
+            dd_t, out_t)["slot_recon_loss"].item()
+    out_j = jm.apply(variables, {"slots": jnp.asarray(slots)}, train=False)
+    np.testing.assert_allclose(np.asarray(out_j["pred_slots"]),
+                               out_t["pred_slots"].numpy(), rtol=5e-4,
+                               atol=5e-5)
+    from slotdiffusion_tpu.models.slotformer import SlotFormer
+    _, losses_j = jm.apply(variables, {"slots": jnp.asarray(slots)},
+                           train=False,
+                           method=SlotFormer.compute_losses)
+    np.testing.assert_allclose(float(losses_j["slot_recon_loss"]), loss_t,
+                               rtol=5e-4)
+
+    # frozen-LDM decode of rolled-out slots, pinned x_T. NB:
+    # ldm_slotformer.py imports CondDDPM through the absolute
+    # `slotdiffusion.video_based.models` alias — a SECOND module copy —
+    # so patch the copy whose globals the model's methods actually read.
+    import sys as _sys
+    ref_cd_alias = _sys.modules[ref_lsf.CondDDPM.__module__]
+    flat = np.asarray(out_j["pred_slots"]).reshape(-1, N, C)[:4]
+    x_T = rng.randn(4, 4, 16, 16).astype(np.float32)
+    monkeypatch.setattr(ref_cd_alias, "noise_like",
+                        _fixed_noise_like(torch.tensor(x_T)))
+    with torch.no_grad():
+        log_t = tm.log_images({"slots": torch.tensor(flat)}, use_dpm=True,
+                              verbose=False)
+        dec_t = log_t["samples"].numpy()
+    monkeypatch.setattr(
+        jdiff, "noise_like",
+        lambda rng_, shape, same_noise=False, dtype=jnp.float32:
+        jnp.asarray(np.transpose(x_T, (0, 2, 3, 1))))
+    dec_j = jm.apply(variables, jnp.asarray(flat),
+                     method=LDMSlotFormer.decode)
+    # 20 solver steps + codebook snap + decoder: f32 accumulation drift
+    # reaches ~1e-2 on a handful of pixels
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(dec_j), (0, 3, 1, 2)), dec_t,
+        rtol=1e-2, atol=2e-2)

@@ -375,3 +375,85 @@ def test_steve_export_roundtrip():
     out = te.export_torch_steve(tree, num_enc_layers=2, pred_num_layers=1,
                                 pred_num_heads=4, dec_num_layers=2)
     _roundtrip(tm, tree, out)
+
+
+def test_ldm_export_roundtrip():
+    ref_ldm = ref_import("ddpm.ldm")
+    enc_dec = dict(resolution=32, in_channels=3, z_channels=4, ch=32,
+                   ch_mult=[1, 2], num_res_blocks=1,
+                   attn_resolutions=[16], out_ch=3, dropout=0.0)
+    vq = dict(n_embed=64, embed_dim=4)
+    unet_cfg = dict(in_channels=4, model_channels=32, out_channels=4,
+                    num_res_blocks=1, attention_resolutions=(2,),
+                    channel_mult=(1, 2), num_head_channels=16,
+                    context_dim=32)
+
+    def mk():
+        return ref_ldm.LDM(
+            resolution=(16, 16),
+            vae_dict=dict(vae_type="VQVAE", enc_dec_dict=dict(enc_dec),
+                          vq_dict=dict(vq), vqvae_ckp_path=""),
+            unet_dict=dict(unet_cfg), use_ema=False,
+            diffusion_dict=dict(pred_target="eps", z_scale_factor=1.25,
+                                timesteps=50, beta_schedule="linear",
+                                linear_start=1e-4, linear_end=2e-2,
+                                cosine_s=8e-3, log_every_t=10),
+            conditioning_key="crossattn", cond_stage_key="slots")
+
+    torch.manual_seed(17)
+    tm = mk()
+    tree = tc.convert_torch_ldm(tm.state_dict(), enc_dec, num_res_blocks=1,
+                                channel_mult=(1, 2),
+                                attention_resolutions=(2,))
+    out = te.export_torch_ldm(tree, enc_dec, num_res_blocks=1,
+                              channel_mult=(1, 2),
+                              attention_resolutions=(2,))
+    _roundtrip(tm, tree, out)
+    _load_back(mk(), out)
+
+
+def test_ldm_slotformer_export_roundtrip():
+    ref_lsf = ref_vp_import("ldm_slotformer")
+    enc_dec = dict(resolution=32, in_channels=3, z_channels=4, ch=32,
+                   ch_mult=[1, 2], num_res_blocks=1,
+                   attn_resolutions=[], out_ch=3, dropout=0.0)
+    vq = dict(n_embed=64, embed_dim=4)
+    unet_cfg = dict(in_channels=4, model_channels=32, out_channels=4,
+                    num_res_blocks=1, attention_resolutions=(2,),
+                    channel_mult=(1, 2), num_head_channels=16,
+                    context_dim=32)
+    rollout = dict(num_slots=4, slot_size=32, history_len=3, t_pe="sin",
+                   slots_pe="", d_model=32, num_layers=2, num_heads=4,
+                   ffn_dim=64, norm_first=True)
+
+    def mk_dec():
+        return dict(resolution=(16, 16),
+                    vae_dict=dict(vae_type="VQVAE",
+                                  enc_dec_dict=dict(enc_dec),
+                                  vq_dict=dict(vq), vqvae_ckp_path=""),
+                    unet_dict=dict(unet_cfg), use_ema=False,
+                    diffusion_dict=dict(pred_target="eps", timesteps=50,
+                                        beta_schedule="linear",
+                                        linear_start=1e-4,
+                                        linear_end=2e-2, cosine_s=8e-3,
+                                        log_every_t=10,
+                                        z_scale_factor=1.0),
+                    conditioning_key="crossattn",
+                    cond_stage_key="slots", dec_ckp_path="")
+
+    torch.manual_seed(18)
+    tm = ref_lsf.LDMSlotFormer(
+        resolution=(16, 16), clip_len=6,
+        slot_dict=dict(num_slots=4, slot_size=32, slot_mlp_size=64,
+                       num_iterations=2),
+        dec_dict=mk_dec(), rollout_dict=dict(rollout),
+        loss_dict=dict(rollout_len=4, use_img_recon_loss=False,
+                       use_denoise_loss=False))
+    tree = tc.convert_torch_ldm_slotformer(
+        tm.state_dict(), enc_dec, rollout_num_layers=2,
+        rollout_num_heads=4, num_res_blocks=1, channel_mult=(1, 2),
+        attention_resolutions=(2,))
+    out = te.export_torch_ldm_slotformer(
+        tree, enc_dec, rollout_num_layers=2, rollout_num_heads=4,
+        num_res_blocks=1, channel_mult=(1, 2), attention_resolutions=(2,))
+    _roundtrip(tm, tree, out)
