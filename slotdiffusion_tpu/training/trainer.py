@@ -352,18 +352,40 @@ class Trainer:
     # checkpointing (orbax)
     # ------------------------------------------------------------------
 
+    def _get_ckptr(self):
+        """Persistent AsyncCheckpointer: serialization + file IO run on a
+        background thread so the train loop only pays the device->host
+        fetch. `params.async_ckpt=False` opts back into blocking saves."""
+        if getattr(self, "_ckptr", None) is None:
+            import orbax.checkpoint as ocp
+            self._ckptr = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler())
+        return self._ckptr
+
+    def wait_for_checkpoints(self):
+        """Block until any in-flight async save has committed."""
+        if getattr(self, "_ckptr", None) is not None:
+            self._ckptr.wait_until_finished()
+
     def save_checkpoint(self, tag="last"):
         if self.ckp_path is None or jax.process_index() != 0:
             return
-        import orbax.checkpoint as ocp
         path = os.path.abspath(os.path.join(self.ckp_path, f"ckpt_{tag}"))
-        ckptr = ocp.StandardCheckpointer()
+        ckptr = self._get_ckptr()
+        # one save in flight at a time; also guards re-saving a path the
+        # previous async write is still committing
+        ckptr.wait_until_finished()
+        # fetch to host BEFORE the async write: the jitted train step
+        # donates the state buffers, so a background read of live device
+        # arrays would race the next step's in-place update
         state_host = jax.device_get(self.state)
         ckptr.save(path, state_host, force=True)
-        ckptr.wait_until_finished()
+        if not self.params.get("async_ckpt", True):
+            ckptr.wait_until_finished()
 
     def load_checkpoint(self, path):
         import orbax.checkpoint as ocp
+        self.wait_for_checkpoints()
         ckptr = ocp.StandardCheckpointer()
         abstract = jax.device_get(self.state)
         restored = ckptr.restore(os.path.abspath(path), abstract)
@@ -413,6 +435,7 @@ class Trainer:
                     print(f"[max_steps {self.max_steps} reached]")
                     self.save_checkpoint("last")
                     self.validate(max_steps=4)
+                    self.wait_for_checkpoints()
                     return
                 if step % self.print_iter == 0:
                     metrics = jax.device_get(metrics)
@@ -436,6 +459,7 @@ class Trainer:
             if (epoch + 1) % self.eval_interval == 0:
                 self.validate()
         self.save_checkpoint("final")
+        self.wait_for_checkpoints()
 
     def validate(self, max_steps=None):
         if self.state is None:

@@ -400,3 +400,59 @@ def test_end_to_end_sa_training_on_mesh():
     results = method.validate(max_steps=1)
     assert any(k.startswith("val/") for k in results)
     assert "val/ari" in results
+
+
+def test_async_checkpoint_save_load_roundtrip(tmp_path):
+    """Async orbax saves (default) must commit durably: after fit() the
+    ckpt_last dir restores a TrainState bit-identical to the live one,
+    and a blocking save (async_ckpt=False) produces the same artifact."""
+    params = BaseParams()
+    params.model = "SA"
+    params.resolution = (32, 32)
+    params.max_epochs = 1
+    params.print_iter = 50
+    params.lr = 1e-3
+    params.warmup_steps_pct = 0.1
+    params.train_batch_size = 16
+    params.val_batch_size = 16
+    params.num_workers = 0
+    params.slot_dict = dict(num_slots=4, slot_size=32, slot_mlp_size=64,
+                            num_iterations=2)
+    params.enc_dict = dict(enc_channels=(3, 16, 16), enc_ks=5,
+                           enc_out_channels=32, enc_norm="")
+    params.dec_dict = dict(dec_channels=(32, 16, 16), dec_resolution=(8, 8),
+                           dec_ks=5, dec_norm="")
+    params.loss_dict = dict(use_img_recon_loss=True)
+    params.max_steps = 3
+    params.save_interval = 100.0
+    params.eval_interval = 1000
+
+    train_set = SyntheticImageDataset(resolution=(32, 32), num_samples=64)
+    val_set = SyntheticImageDataset(resolution=(32, 32), num_samples=16,
+                                    seed=1)
+    dm = DataModule(params, train_set, val_set)
+    model = build_model(params)
+    ckp = str(tmp_path / "ckpt")
+    method = build_method(model=model, datamodule=dm, params=params,
+                          ckp_path=ckp)
+    method.fit(resume_from=None, san_check_val_step=0)
+
+    import os.path as osp
+    assert osp.isdir(osp.join(ckp, "ckpt_last"))
+    live = jax.device_get(method.state)
+    from slotdiffusion_tpu.training.checkpoint import load_train_state
+    restored = load_train_state(osp.join(ckp, "ckpt_last"))
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(
+                jax.device_get(live.params)),
+            jax.tree_util.tree_leaves_with_path(restored["params"])):
+        assert p1 == p2
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # blocking mode writes the same artifact
+    params.async_ckpt = False
+    method.save_checkpoint("sync")
+    restored2 = load_train_state(osp.join(ckp, "ckpt_sync"))
+    for a, b in zip(jax.tree_util.tree_leaves(restored["params"]),
+                    jax.tree_util.tree_leaves(restored2["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
