@@ -148,6 +148,22 @@ def build_optimizer(
             core = fused_adam(sched)
         elif optimizer.lower() == "adam":
             core = optax.adam(sched)
+        elif optimizer.lower() == "adam_bf16":
+            # memory-lean Adam: bf16 first moment halves mu's HBM
+            # footprint/traffic (nu stays f32 — it controls the
+            # preconditioner scale and bf16's 8 mantissa bits visibly
+            # perturb step sizes). Changes training numerics slightly —
+            # opt-in, never the default (reference parity uses f32 Adam).
+            core = optax.adam(sched, mu_dtype=jnp.bfloat16)
+        elif optimizer.lower() == "adafactor":
+            # factored second moments: O(rows+cols) state instead of
+            # O(rows*cols) — the memory-scaling option for models whose
+            # Adam state would not fit HBM. min_dim_size_to_factor=128
+            # keeps small tensors (norms, biases) unfactored.
+            core = optax.adafactor(
+                sched, min_dim_size_to_factor=128, multiply_by_parameter_scale=False,
+                clipping_threshold=None, momentum=0.9,
+                dtype_momentum=jnp.bfloat16)
         elif optimizer.lower() == "sgd":
             core = optax.sgd(sched, momentum=0.9)
         else:

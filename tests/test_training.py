@@ -456,3 +456,46 @@ def test_async_checkpoint_save_load_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(restored["params"]),
                     jax.tree_util.tree_leaves(restored2["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_memory_lean_optimizers():
+    """adam_bf16 stores the first moment in bf16; adafactor factors the
+    second moment (state elements << Adam's 2x params). Both must run a
+    finite update step."""
+    from slotdiffusion_tpu.training.optim import build_optimizer
+
+    rng = np.random.RandomState(0)
+    params = {"w": jnp.asarray(rng.randn(256, 512).astype(np.float32)),
+              "b": jnp.asarray(rng.randn(512).astype(np.float32))}
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.randn(*p.shape).astype(np.float32)),
+        params)
+
+    def n_state_elems(st):
+        return sum(np.size(l) for l in jax.tree_util.tree_leaves(st)
+                   if hasattr(l, "size"))
+
+    tx_adam, _ = build_optimizer(params, lr=1e-3, total_steps=10,
+                                 warmup_steps=0, optimizer="adam")
+    st_adam = tx_adam.init(params)
+
+    tx_bf16, _ = build_optimizer(params, lr=1e-3, total_steps=10,
+                                 warmup_steps=0, optimizer="adam_bf16")
+    st_bf16 = tx_bf16.init(params)
+    mu_dtypes = {l.dtype for l in jax.tree_util.tree_leaves(st_bf16)
+                 if hasattr(l, "dtype") and l.ndim >= 1 and l.size > 1}
+    assert jnp.dtype(jnp.bfloat16) in mu_dtypes
+
+    tx_af, _ = build_optimizer(params, lr=1e-3, total_steps=10,
+                               warmup_steps=0, optimizer="adafactor")
+    st_af = tx_af.init(params)
+    n_params = sum(np.size(l) for l in jax.tree_util.tree_leaves(params))
+    # adafactor: bf16 momentum + factored [256]+[512] second moment vs
+    # Adam's two full f32 copies
+    assert n_state_elems(st_af) < n_state_elems(st_adam)
+
+    for tx, st in ((tx_bf16, st_bf16), (tx_af, st_af)):
+        updates, st2 = tx.update(grads, st, params)
+        new_params = optax.apply_updates(params, updates)
+        for l in jax.tree_util.tree_leaves(new_params):
+            assert np.isfinite(np.asarray(l, dtype=np.float32)).all()
