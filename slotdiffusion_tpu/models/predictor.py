@@ -125,9 +125,13 @@ class RNNPredictorWrapper(nn.Module):
         return out, {"states": tuple(new_states), "step": step + 1}
 
 
-def build_predictor(pred_dict, slot_size, dtype=jnp.float32):
+def build_predictor(pred_dict, slot_size, rnn_hidden_size=None,
+                    dtype=jnp.float32):
     """Predictor dispatch mirroring SAVi._build_predictor usage
-    (video_based/models/savi.py:320-347)."""
+    (video_based/models/savi.py:320-347). `rnn_hidden_size` is the LSTM
+    hidden width — the reference wires `slot_mlp_size` there
+    (savi.py:340-343); slot_size*2 is only the default-config
+    coincidence."""
     ptype = pred_dict.get("pred_type", "transformer")
     if ptype == "transformer":
         base = TransformerPredictor(
@@ -150,7 +154,7 @@ def build_predictor(pred_dict, slot_size, dtype=jnp.float32):
         return RNNPredictorWrapper(
             base=base,
             input_size=slot_size,
-            hidden_size=slot_size * 2,
+            hidden_size=rnn_hidden_size or slot_size * 2,
             sg_every=pred_dict.get("pred_sg_every", None),
             dtype=dtype)
     return base

@@ -89,7 +89,9 @@ class SAVi(nn.Module):
             enc_out_channels=self.enc_dict["enc_out_channels"],
             dtype=self.dtype)
         self.predictor = build_predictor(
-            self.pred_dict, self.slot_size, dtype=self.dtype)
+            self.pred_dict, self.slot_size,
+            rnn_hidden_size=self.slot_dict.get("slot_mlp_size", None),
+            dtype=self.dtype)
         if self.dec_dict.get("dec_channels", None):
             self.decoder = SpatialBroadcastDecoder(
                 resolution=tuple(self.resolution),

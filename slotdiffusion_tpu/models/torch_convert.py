@@ -284,7 +284,8 @@ def convert_torch_savi_diffusion(state_dict, num_enc_layers,
                                  num_res_blocks, channel_mult,
                                  attention_resolutions,
                                  resblock_updown=False,
-                                 transformer_depth=1):
+                                 transformer_depth=1,
+                                 pred_rnn=False, rnn_hidden_size=None):
     """Full reference SAViDiffusion (video_based/models/savi_diffusion.py:
     74-302, plain-CNN encoder, transformer predictor, CondDDPM decoder) ->
     flax `models.slot_diffusion.SAViDiffusion` params. The flax model
@@ -292,10 +293,9 @@ def convert_torch_savi_diffusion(state_dict, num_enc_layers,
     flat."""
     sd = numpy_state_dict(state_dict)
     savi = _sa_encoder_side(sd, num_enc_layers)
-    pred_sd = {k[len("predictor."):]: v for k, v in sd.items()
-               if k.startswith("predictor.")}
-    savi["predictor"] = convert_torch_transformer_predictor(
-        pred_sd, num_layers=pred_num_layers, num_heads=pred_num_heads)
+    savi["predictor"] = _convert_predictor(
+        sd, pred_num_layers, pred_num_heads, pred_rnn=pred_rnn,
+        rnn_hidden_size=rnn_hidden_size)
     unet_sd = {k[len("dm_decoder.model.diffusion_model."):]: v
                for k, v in sd.items()
                if k.startswith("dm_decoder.model.diffusion_model.")}
@@ -315,6 +315,22 @@ def _sub_state(sd, prefix):
             if k.startswith(prefix)}
 
 
+def _convert_predictor(sd, pred_num_layers, pred_num_heads,
+                       pred_rnn=False, rnn_hidden_size=None):
+    """Predictor subtree dispatch for the full-model converters: bare
+    TransformerPredictor, or the reference-default RNNPredictorWrapper
+    around it (pred_rnn=True, savi.py:338-347)."""
+    pred_sd = _sub_state(sd, "predictor.")
+    if not pred_rnn:
+        return convert_torch_transformer_predictor(
+            pred_sd, num_layers=pred_num_layers, num_heads=pred_num_heads)
+    base = convert_torch_transformer_predictor(
+        _sub_state(pred_sd, "base_predictor."),
+        num_layers=pred_num_layers, num_heads=pred_num_heads)
+    return convert_torch_rnn_predictor(pred_sd, base,
+                                       hidden_size=rnn_hidden_size)
+
+
 def convert_torch_slate(state_dict, num_enc_layers, dec_num_layers):
     """Full reference SLATE (img_based/models/slate/slate.py:16-200) ->
     flax `models.slate.SLATE` params: SA encode side + frozen dVAE +
@@ -328,16 +344,17 @@ def convert_torch_slate(state_dict, num_enc_layers, dec_num_layers):
 
 
 def convert_torch_steve(state_dict, num_enc_layers, pred_num_layers,
-                        pred_num_heads, dec_num_layers):
+                        pred_num_heads, dec_num_layers,
+                        pred_rnn=False, rnn_hidden_size=None):
     """Full reference STEVE (video_based/models/steve/steve.py:16-279,
     transformer predictor without the RNN wrapper) -> flax
     `models.slate.STEVE` params: SAVi encode side (nested under `savi`)
     + frozen dVAE + STEVETransformerDecoder."""
     sd = numpy_state_dict(state_dict)
     savi = _sa_encoder_side(sd, num_enc_layers)
-    savi["predictor"] = convert_torch_transformer_predictor(
-        _sub_state(sd, "predictor."), num_layers=pred_num_layers,
-        num_heads=pred_num_heads)
+    savi["predictor"] = _convert_predictor(
+        sd, pred_num_layers, pred_num_heads, pred_rnn=pred_rnn,
+        rnn_hidden_size=rnn_hidden_size)
     return {
         "savi": savi,
         "dvae": convert_torch_dvae(_sub_state(sd, "dvae.")),
@@ -389,17 +406,17 @@ def convert_torch_ldm_slotformer(state_dict, enc_dec_dict,
 
 
 def convert_torch_savi(state_dict, num_enc_layers, num_dec_layers,
-                       pred_num_layers, pred_num_heads):
+                       pred_num_layers, pred_num_heads,
+                       pred_rnn=False, rnn_hidden_size=None):
     """Full reference SAVi video model (video_based/models/savi.py:117-565,
     plain-CNN encoder, transformer predictor without the RNN wrapper) ->
     flax `models.savi.SAVi` params: the SA backbone plus the slot
     predictor that carries slots across frames."""
     sd = numpy_state_dict(state_dict)
     params = _sa_backbone(sd, num_enc_layers, num_dec_layers)
-    pred_sd = {k[len("predictor."):]: v for k, v in sd.items()
-               if k.startswith("predictor.")}
-    params["predictor"] = convert_torch_transformer_predictor(
-        pred_sd, num_layers=pred_num_layers, num_heads=pred_num_heads)
+    params["predictor"] = _convert_predictor(
+        sd, pred_num_layers, pred_num_heads, pred_rnn=pred_rnn,
+        rnn_hidden_size=rnn_hidden_size)
     return params
 
 
@@ -445,6 +462,44 @@ def convert_torch_mlp_predictor(state_dict, num_linear):
     params = {"LayerNorm_0": _layernorm(sd, "ln")}
     for i in range(num_linear):
         params[f"Dense_{i}"] = _linear(sd, f"mlp.{2 * i}")
+    return params
+
+
+def convert_torch_rnn_predictor(state_dict, base_params, hidden_size,
+                                rnn_num_layers=1):
+    """Reference RNNPredictorWrapper (predictor.py:76-135): base predictor
+    -> torch nn.LSTM -> out projection, onto flax
+    `models.predictor.RNNPredictorWrapper` params.
+
+    torch packs LSTM gates as rows (i|f|g|o) of weight_ih/weight_hh with
+    two bias vectors; flax OptimizedLSTMCell keeps per-gate dense blocks
+    (ii/if/ig/io input kernels without bias, hi/hf/hg/ho hidden kernels
+    whose bias carries the SUM of torch's bias_ih + bias_hh — identical
+    affine map).
+
+    Args:
+        state_dict: the wrapper's subtree ('base_predictor.*', 'rnn.*',
+            'out_projector.*').
+        base_params: the already-converted base predictor tree.
+        hidden_size: LSTM hidden width (the reference wires slot_mlp_size,
+            savi.py:340-343).
+    """
+    sd = numpy_state_dict(state_dict)
+    H = hidden_size
+    params = {"base": base_params,
+              "out_proj": _linear(sd, "out_projector")}
+    for layer in range(rnn_num_layers):
+        wi = sd[f"rnn.weight_ih_l{layer}"]   # [4H, in]
+        wh = sd[f"rnn.weight_hh_l{layer}"]   # [4H, H]
+        bi = sd[f"rnn.bias_ih_l{layer}"]
+        bh = sd[f"rnn.bias_hh_l{layer}"]
+        cell = {}
+        for gi, g in enumerate(("i", "f", "g", "o")):
+            sl = slice(gi * H, (gi + 1) * H)
+            cell[f"i{g}"] = {"kernel": np.transpose(wi[sl])}
+            cell[f"h{g}"] = {"kernel": np.transpose(wh[sl]),
+                             "bias": bi[sl] + bh[sl]}
+        params[f"lstm{layer}"] = cell
     return params
 
 

@@ -227,6 +227,23 @@ def export_torch_sa(params, num_enc_layers, num_dec_layers):
     return out
 
 
+def _export_predictor(out, pred_params, pred_num_layers, pred_num_heads,
+                      pred_rnn=False, rnn_hidden_size=None):
+    """Inverse of torch_convert._convert_predictor: emit 'predictor.*'
+    keys for a bare TransformerPredictor or the RNNPredictorWrapper."""
+    if not pred_rnn:
+        items = export_torch_transformer_predictor(
+            pred_params, pred_num_layers, pred_num_heads).items()
+    else:
+        items = export_torch_rnn_predictor(
+            pred_params,
+            lambda base: export_torch_transformer_predictor(
+                base, pred_num_layers, pred_num_heads),
+            hidden_size=rnn_hidden_size).items()
+    for k, v in items:
+        out[f"predictor.{k}"] = v
+
+
 def export_torch_sa_diffusion(params, num_enc_layers, num_res_blocks,
                               channel_mult, attention_resolutions,
                               resblock_updown=False, transformer_depth=1):
@@ -252,7 +269,8 @@ def export_torch_savi_diffusion(params, num_enc_layers, pred_num_layers,
                                 pred_num_heads, num_res_blocks,
                                 channel_mult, attention_resolutions,
                                 resblock_updown=False,
-                                transformer_depth=1):
+                                transformer_depth=1,
+                                pred_rnn=False, rnn_hidden_size=None):
     """flax `models.slot_diffusion.SAViDiffusion` params -> reference
     SAViDiffusion state_dict (video_based/models/savi_diffusion.py:74-302).
     Schedule buffers / LitEma shadows are rebuilt by the torch ctor —
@@ -260,9 +278,9 @@ def export_torch_savi_diffusion(params, num_enc_layers, pred_num_layers,
     out: Dict[str, np.ndarray] = {}
     savi = params["savi"]
     _inv_sa_encoder_side(out, savi, num_enc_layers)
-    for k, v in export_torch_transformer_predictor(
-            savi["predictor"], pred_num_layers, pred_num_heads).items():
-        out[f"predictor.{k}"] = v
+    _export_predictor(out, savi["predictor"], pred_num_layers,
+                      pred_num_heads, pred_rnn=pred_rnn,
+                      rnn_hidden_size=rnn_hidden_size)
     unet = export_torch_unet(
         params["dm_decoder"]["unet"], num_res_blocks=num_res_blocks,
         channel_mult=channel_mult,
@@ -288,15 +306,16 @@ def export_torch_slate(params, num_enc_layers, dec_num_layers):
 
 
 def export_torch_steve(params, num_enc_layers, pred_num_layers,
-                       pred_num_heads, dec_num_layers):
+                       pred_num_heads, dec_num_layers,
+                       pred_rnn=False, rnn_hidden_size=None):
     """flax `models.slate.STEVE` params -> reference STEVE state_dict
     (video_based/models/steve/steve.py:16-279)."""
     out: Dict[str, np.ndarray] = {}
     savi = params["savi"]
     _inv_sa_encoder_side(out, savi, num_enc_layers)
-    for k, v in export_torch_transformer_predictor(
-            savi["predictor"], pred_num_layers, pred_num_heads).items():
-        out[f"predictor.{k}"] = v
+    _export_predictor(out, savi["predictor"], pred_num_layers,
+                      pred_num_heads, pred_rnn=pred_rnn,
+                      rnn_hidden_size=rnn_hidden_size)
     for k, v in export_torch_dvae(params["dvae"]).items():
         out[f"dvae.{k}"] = v
     for k, v in export_torch_steve_transformer(
@@ -350,14 +369,15 @@ def export_torch_ldm_slotformer(params, enc_dec_dict, rollout_num_layers,
 
 
 def export_torch_savi(params, num_enc_layers, num_dec_layers,
-                      pred_num_layers, pred_num_heads):
+                      pred_num_layers, pred_num_heads,
+                      pred_rnn=False, rnn_hidden_size=None):
     """flax `models.savi.SAVi` params -> reference SAVi video model
     state_dict (video_based/models/savi.py:117-565, plain-CNN encoder,
     transformer predictor without the RNN wrapper)."""
     out = export_torch_sa(params, num_enc_layers, num_dec_layers)
-    for k, v in export_torch_transformer_predictor(
-            params["predictor"], pred_num_layers, pred_num_heads).items():
-        out[f"predictor.{k}"] = v
+    _export_predictor(out, params["predictor"], pred_num_layers,
+                      pred_num_heads, pred_rnn=pred_rnn,
+                      rnn_hidden_size=rnn_hidden_size)
     return out
 
 
@@ -397,6 +417,36 @@ def export_torch_mlp_predictor(params, num_linear):
     _inv_layernorm(out, "ln", params["LayerNorm_0"])
     for i in range(num_linear):
         _inv_linear(out, f"mlp.{2 * i}", params[f"Dense_{i}"])
+    return out
+
+
+def export_torch_rnn_predictor(params, export_base_fn, hidden_size,
+                               rnn_num_layers=1):
+    """flax RNNPredictorWrapper params -> reference RNNPredictorWrapper
+    state_dict (predictor.py:76-135). torch keeps two LSTM bias vectors
+    whose SUM the flax cell stores; the exported split puts the whole
+    combined bias in bias_ih and zeros in bias_hh — an identical affine
+    map, so forwards are bit-equal (exact split values are not
+    recoverable and never observable)."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in export_base_fn(params["base"]).items():
+        out[f"base_predictor.{k}"] = v
+    _inv_linear(out, "out_projector", params["out_proj"])
+    H = hidden_size
+    for layer in range(rnn_num_layers):
+        cell = params[f"lstm{layer}"]
+        wi = np.concatenate(
+            [np.transpose(_np(cell[f"i{g}"]["kernel"]))
+             for g in ("i", "f", "g", "o")], axis=0)
+        wh = np.concatenate(
+            [np.transpose(_np(cell[f"h{g}"]["kernel"]))
+             for g in ("i", "f", "g", "o")], axis=0)
+        b = np.concatenate([_np(cell[f"h{g}"]["bias"])
+                            for g in ("i", "f", "g", "o")], axis=0)
+        out[f"rnn.weight_ih_l{layer}"] = wi
+        out[f"rnn.weight_hh_l{layer}"] = wh
+        out[f"rnn.bias_ih_l{layer}"] = b
+        out[f"rnn.bias_hh_l{layer}"] = np.zeros_like(b)
     return out
 
 

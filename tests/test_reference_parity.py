@@ -1874,3 +1874,52 @@ def test_ldm_slotformer_full_model_matches_reference(monkeypatch):
     np.testing.assert_allclose(
         np.transpose(np.asarray(dec_j), (0, 3, 1, 2)), dec_t,
         rtol=1e-2, atol=2e-2)
+
+
+def test_savi_rnn_predictor_matches_reference():
+    """SAVi with the reference-DEFAULT pred_rnn=True (savi.py:338-347):
+    TransformerPredictor wrapped in an LSTM (hidden = slot_mlp_size) with
+    an out projection; the LSTM hidden state carries across frames, so a
+    3-frame video exercises gate packing (torch i|f|g|o rows vs flax
+    per-gate blocks), the bias_ih+bias_hh sum, and the carry threading in
+    the nn.scan step."""
+    ref_savi = ref_import("savi")
+    from slotdiffusion_tpu.models.savi import SAVi
+    from slotdiffusion_tpu.models.torch_convert import convert_torch_savi
+
+    pred = dict(pred_type="transformer", pred_rnn=True,
+                pred_norm_first=True, pred_num_layers=1, pred_num_heads=4,
+                pred_ffn_dim=64, pred_sg_every=None)
+    torch.manual_seed(181)
+    tm = ref_savi.SAVi(resolution=(64, 64), clip_len=6,
+                       slot_dict=dict(_SA_SLOT), enc_dict=dict(_SA_ENC),
+                       dec_dict=dict(_SA_DEC), pred_dict=dict(pred),
+                       loss_dict=dict(use_img_recon_loss=True))
+    tm.eval()
+    params = convert_torch_savi(
+        tm.state_dict(),
+        num_enc_layers=len(_SA_ENC["enc_channels"]) - 1,
+        num_dec_layers=len(_SA_DEC["dec_channels"]) - 1,
+        pred_num_layers=1, pred_num_heads=4, pred_rnn=True,
+        rnn_hidden_size=_SA_SLOT["slot_mlp_size"])
+    jm = SAVi(resolution=(64, 64), clip_len=6, slot_dict=dict(_SA_SLOT),
+              enc_dict=dict(_SA_ENC), dec_dict=dict(_SA_DEC),
+              pred_dict=dict(pred), loss_dict=dict(use_img_recon_loss=True))
+    init = jm.init(jax.random.PRNGKey(0),
+                   {"img": jnp.zeros((1, 2, 64, 64, 3))})
+    _tree_paths_match(init["params"], params)
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+    rng = np.random.RandomState(182)
+    x = rng.rand(2, 3, 3, 64, 64).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        out_t = tm({"img": torch.tensor(x)})
+    out_j = jm.apply(variables,
+                     {"img": jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))},
+                     train=False)
+    np.testing.assert_allclose(np.asarray(out_j["slots"]),
+                               out_t["slots"].numpy(), rtol=5e-4,
+                               atol=5e-5)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out_j["recon_img"]), (0, 1, 4, 2, 3)),
+        out_t["recon_img"].numpy(), rtol=5e-4, atol=5e-5)

@@ -457,3 +457,61 @@ def test_ldm_slotformer_export_roundtrip():
         tree, enc_dec, rollout_num_layers=2, rollout_num_heads=4,
         num_res_blocks=1, channel_mult=(1, 2), attention_resolutions=(2,))
     _roundtrip(tm, tree, out)
+
+
+def test_savi_rnn_predictor_export_roundtrip():
+    """pred_rnn=True roundtrip: the LSTM bias split (bias_ih+bias_hh ->
+    combined on flax) is not value-recoverable, so only the AFFINE MAP is
+    preserved — verify forward-equality after load-back instead of
+    raw-value equality for the rnn biases."""
+    ref_savi = ref_import("savi")
+    slot = dict(num_slots=4, slot_size=32, slot_mlp_size=64,
+                num_iterations=2)
+    enc = dict(enc_channels=(3, 16, 16), enc_ks=5, enc_out_channels=32,
+               enc_norm="")
+    dec = dict(dec_channels=(32, 16, 16), dec_resolution=(16, 16),
+               dec_ks=5, dec_norm="")
+    pred = dict(pred_type="transformer", pred_rnn=True,
+                pred_norm_first=True, pred_num_layers=1, pred_num_heads=4,
+                pred_ffn_dim=64, pred_sg_every=None)
+
+    def mk():
+        return ref_savi.SAVi(resolution=(64, 64), clip_len=6,
+                             slot_dict=dict(slot), enc_dict=dict(enc),
+                             dec_dict=dict(dec), pred_dict=dict(pred),
+                             loss_dict=dict(use_img_recon_loss=True))
+
+    torch.manual_seed(19)
+    tm = mk()
+    tm.eval()
+    tree = tc.convert_torch_savi(tm.state_dict(), num_enc_layers=2,
+                                 num_dec_layers=2, pred_num_layers=1,
+                                 pred_num_heads=4, pred_rnn=True,
+                                 rnn_hidden_size=64)
+    out = te.export_torch_savi(tree, num_enc_layers=2, num_dec_layers=2,
+                               pred_num_layers=1, pred_num_heads=4,
+                               pred_rnn=True, rnn_hidden_size=64)
+    sd = {k: np.array(v.detach().cpu().numpy())
+          for k, v in tm.state_dict().items()}
+    param_names = {n for n, p in tm.named_parameters() if p.requires_grad}
+    assert not param_names - set(out)
+    for k, v in out.items():
+        assert k in sd
+        if ".rnn.bias" in f".{k}":
+            continue  # split not recoverable; affine map checked below
+        np.testing.assert_array_equal(v, sd[k],
+                                      err_msg=f"mismatch at {k}")
+    np.testing.assert_array_equal(
+        out["predictor.rnn.bias_ih_l0"] + out["predictor.rnn.bias_hh_l0"],
+        sd["predictor.rnn.bias_ih_l0"] + sd["predictor.rnn.bias_hh_l0"])
+
+    tm2 = mk()
+    tm2.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                         for k, v in out.items()}, strict=False)
+    tm2.eval()
+    rng = np.random.RandomState(20)
+    x = torch.tensor(rng.rand(1, 3, 3, 64, 64).astype(np.float32))
+    with torch.no_grad():
+        y1 = tm({"img": x})["slots"].numpy()
+        y2 = tm2({"img": x})["slots"].numpy()
+    np.testing.assert_allclose(y1, y2, rtol=1e-6, atol=1e-7)
