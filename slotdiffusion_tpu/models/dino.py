@@ -89,10 +89,33 @@ class DINOEncoder(nn.Module):
         return jax.lax.stop_gradient(x)
 
 
+def convert_hf_dino_tree(state_dict, num_heads=6, depth=12):
+    """HF `ViTModel` state dict -> NESTED flax `DINOEncoder` param tree
+    (used by the full-model SA/SAVi converters for checkpoints whose
+    encoder is a frozen DINO, torch_convert._sa_encoder_side)."""
+    flat = convert_hf_dino_flat(state_dict, num_heads=num_heads,
+                                depth=depth)
+    tree = {}
+    for key, v in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
 def convert_hf_dino_npz(state_dict, out_path, num_heads=6, depth=12):
-    """HF `ViTModel` (facebook/dino-vits8/16, vitb8/16) state dict -> .npz
-    of this module's flattened param paths (the `load_dino_weights`
-    format).
+    """HF `ViTModel` state dict -> .npz of flattened param paths (the
+    `load_dino_weights` format)."""
+    out = convert_hf_dino_flat(state_dict, num_heads=num_heads, depth=depth)
+    np.savez(out_path, **out)
+    return out_path
+
+
+def convert_hf_dino_flat(state_dict, num_heads=6, depth=12):
+    """HF `ViTModel` (facebook/dino-vits8/16, vitb8/16) state dict ->
+    {flattened/param/path: np.ndarray}.
 
     Accepts a torch state_dict or a {name: np.ndarray} dict. Layout:
     torch linear [out, in] -> flax kernel [in, out]; q/k/v reshaped to
@@ -138,8 +161,7 @@ def convert_hf_dino_npz(state_dict, out_path, num_heads=6, depth=12):
         out[f"{b}/Dense_1/kernel"] = np.transpose(
             sd[f"{p}.output.dense.weight"])
         out[f"{b}/Dense_1/bias"] = sd[f"{p}.output.dense.bias"]
-    np.savez(out_path, **out)
-    return out_path
+    return out
 
 
 def load_dino_weights(params):

@@ -212,11 +212,11 @@ def _deconv(sd, prefix):
             "bias": sd[f"{prefix}.bias"]}
 
 
-def _sa_backbone(sd, num_enc_layers, num_dec_layers):
+def _sa_backbone(sd, num_enc_layers, num_dec_layers, **enc_kwargs):
     """Shared SA/SAVi backbone walk: the encode side (below) plus the
     spatial-broadcast deconv decoder with its own SoftPositionEmbed and
     the final 1x1 RGBA conv."""
-    params = _sa_encoder_side(sd, num_enc_layers)
+    params = _sa_encoder_side(sd, num_enc_layers, **enc_kwargs)
     dec = {"SoftPositionEmbed_0": {
         "Dense_0": _linear(sd, "decoder_pos_embedding.dense")}}
     for i in range(num_dec_layers):
@@ -227,21 +227,43 @@ def _sa_backbone(sd, num_enc_layers, num_dec_layers):
     return params
 
 
-def convert_torch_sa(state_dict, num_enc_layers, num_dec_layers):
+def convert_torch_sa(state_dict, num_enc_layers, num_dec_layers,
+                     **enc_kwargs):
     """Full reference SA image model (img_based/models/slot_attention.py:
     115-425, plain-CNN encoder variant) -> flax `models.sa.SA` params."""
     sd = numpy_state_dict(state_dict)
-    return _sa_backbone(sd, num_enc_layers, num_dec_layers)
+    return _sa_backbone(sd, num_enc_layers, num_dec_layers, **enc_kwargs)
 
 
-def _sa_encoder_side(sd, num_enc_layers):
+_RESNET_STAGES = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3)}
+
+
+def _sa_encoder_side(sd, num_enc_layers, enc_resnet="",
+                     enc_use_layer4=False, enc_dino=False,
+                     dino_small=True):
     """The encode-side subset of the SA backbone (no deconv decoder):
-    CNN conv stack + SoftPositionEmbed + LN/MLP head, init_latents,
-    SlotAttention. Shared by the *Diffusion models, whose decoder is a
-    DM rather than spatial broadcast (sa_diffusion.py:141-148)."""
-    enc = {}
-    for i in range(num_enc_layers):
-        enc[f"ConvNormAct_{i}"] = {"Conv_0": _conv(sd, f"encoder.{i}.0")}
+    backbone + SoftPositionEmbed + LN/MLP head, init_latents,
+    SlotAttention. Shared by every SA/SAVi-family converter.
+
+    Backbone variants mirror the reference's _build_encoder
+    (img_based/models/slot_attention.py:182-245): the plain CNN stack
+    (`num_enc_layers` conv_norm_act blocks), GN-ResNet18/34
+    (`enc_resnet`, used by every published CLEVRTex/CelebA/MOVi config),
+    or a frozen DINO ViT (`enc_dino`, the COCO/VOC configs — HF ViTModel
+    weights under 'encoder.dino.')."""
+    if enc_resnet:
+        enc = {"ResNet_0": convert_torch_resnet(
+            _sub_state(sd, "encoder."), _RESNET_STAGES[enc_resnet],
+            use_layer4=enc_use_layer4)}
+    elif enc_dino:
+        from .dino import convert_hf_dino_tree
+        enc = {"DINOEncoder_0": convert_hf_dino_tree(
+            _sub_state(sd, "encoder.dino."),
+            num_heads=6 if dino_small else 12)}
+    else:
+        enc = {}
+        for i in range(num_enc_layers):
+            enc[f"ConvNormAct_{i}"] = {"Conv_0": _conv(sd, f"encoder.{i}.0")}
     enc["SoftPositionEmbed_0"] = {
         "Dense_0": _linear(sd, "encoder_pos_embedding.dense")}
     enc["LayerNorm_0"] = _layernorm(sd, "encoder_out_layer.0")
@@ -260,14 +282,14 @@ def convert_torch_sa_diffusion(state_dict, num_enc_layers,
                                num_res_blocks, channel_mult,
                                attention_resolutions,
                                resblock_updown=False,
-                               transformer_depth=1):
+                               transformer_depth=1, **enc_kwargs):
     """Full reference SADiffusion (img_based/models/sa_diffusion.py:73-247,
     plain-CNN encoder, CondDDPM decoder) -> flax
     `models.slot_diffusion.SADiffusion` params: the SA encode side with
     the WMask slot attention plus the slot-conditioned denoising UNet
     (`dm_decoder.model.diffusion_model` on the torch side)."""
     sd = numpy_state_dict(state_dict)
-    params = _sa_encoder_side(sd, num_enc_layers)
+    params = _sa_encoder_side(sd, num_enc_layers, **enc_kwargs)
     unet_sd = {k[len("dm_decoder.model.diffusion_model."):]: v
                for k, v in sd.items()
                if k.startswith("dm_decoder.model.diffusion_model.")}
@@ -285,14 +307,15 @@ def convert_torch_savi_diffusion(state_dict, num_enc_layers,
                                  attention_resolutions,
                                  resblock_updown=False,
                                  transformer_depth=1,
-                                 pred_rnn=False, rnn_hidden_size=None):
+                                 pred_rnn=False, rnn_hidden_size=None,
+                                 **enc_kwargs):
     """Full reference SAViDiffusion (video_based/models/savi_diffusion.py:
     74-302, plain-CNN encoder, transformer predictor, CondDDPM decoder) ->
     flax `models.slot_diffusion.SAViDiffusion` params. The flax model
     nests the recurrent encode side under `savi`; the torch module is
     flat."""
     sd = numpy_state_dict(state_dict)
-    savi = _sa_encoder_side(sd, num_enc_layers)
+    savi = _sa_encoder_side(sd, num_enc_layers, **enc_kwargs)
     savi["predictor"] = _convert_predictor(
         sd, pred_num_layers, pred_num_heads, pred_rnn=pred_rnn,
         rnn_hidden_size=rnn_hidden_size)
@@ -331,12 +354,13 @@ def _convert_predictor(sd, pred_num_layers, pred_num_heads,
                                        hidden_size=rnn_hidden_size)
 
 
-def convert_torch_slate(state_dict, num_enc_layers, dec_num_layers):
+def convert_torch_slate(state_dict, num_enc_layers, dec_num_layers,
+                        **enc_kwargs):
     """Full reference SLATE (img_based/models/slate/slate.py:16-200) ->
     flax `models.slate.SLATE` params: SA encode side + frozen dVAE +
     SLATETransformerDecoder."""
     sd = numpy_state_dict(state_dict)
-    params = _sa_encoder_side(sd, num_enc_layers)
+    params = _sa_encoder_side(sd, num_enc_layers, **enc_kwargs)
     params["dvae"] = convert_torch_dvae(_sub_state(sd, "dvae."))
     params["trans_decoder"] = convert_torch_steve_transformer(
         _sub_state(sd, "trans_decoder."), num_layers=dec_num_layers)
@@ -345,13 +369,14 @@ def convert_torch_slate(state_dict, num_enc_layers, dec_num_layers):
 
 def convert_torch_steve(state_dict, num_enc_layers, pred_num_layers,
                         pred_num_heads, dec_num_layers,
-                        pred_rnn=False, rnn_hidden_size=None):
+                        pred_rnn=False, rnn_hidden_size=None,
+                        **enc_kwargs):
     """Full reference STEVE (video_based/models/steve/steve.py:16-279,
     transformer predictor without the RNN wrapper) -> flax
     `models.slate.STEVE` params: SAVi encode side (nested under `savi`)
     + frozen dVAE + STEVETransformerDecoder."""
     sd = numpy_state_dict(state_dict)
-    savi = _sa_encoder_side(sd, num_enc_layers)
+    savi = _sa_encoder_side(sd, num_enc_layers, **enc_kwargs)
     savi["predictor"] = _convert_predictor(
         sd, pred_num_layers, pred_num_heads, pred_rnn=pred_rnn,
         rnn_hidden_size=rnn_hidden_size)
@@ -407,13 +432,14 @@ def convert_torch_ldm_slotformer(state_dict, enc_dec_dict,
 
 def convert_torch_savi(state_dict, num_enc_layers, num_dec_layers,
                        pred_num_layers, pred_num_heads,
-                       pred_rnn=False, rnn_hidden_size=None):
+                       pred_rnn=False, rnn_hidden_size=None,
+                       **enc_kwargs):
     """Full reference SAVi video model (video_based/models/savi.py:117-565,
     plain-CNN encoder, transformer predictor without the RNN wrapper) ->
     flax `models.savi.SAVi` params: the SA backbone plus the slot
     predictor that carries slots across frames."""
     sd = numpy_state_dict(state_dict)
-    params = _sa_backbone(sd, num_enc_layers, num_dec_layers)
+    params = _sa_backbone(sd, num_enc_layers, num_dec_layers, **enc_kwargs)
     params["predictor"] = _convert_predictor(
         sd, pred_num_layers, pred_num_heads, pred_rnn=pred_rnn,
         rnn_hidden_size=rnn_hidden_size)

@@ -194,13 +194,25 @@ def _inv_deconv(out, prefix, sub):
     out[f"{prefix}.bias"] = _np(sub["bias"])
 
 
-def _inv_sa_encoder_side(out, params, num_enc_layers):
-    """Encode-side subset shared by SA/SAVi/SADiffusion exports."""
+def _inv_sa_encoder_side(out, params, num_enc_layers, enc_resnet="",
+                         enc_use_layer4=False):
+    """Encode-side subset shared by SA/SAVi-family exports. `enc_resnet`
+    selects the GN-ResNet backbone layout (every published
+    CLEVRTex/CelebA/MOVi config). A frozen-DINO encoder is NOT exported:
+    its weights are the unmodified public facebook/dino-vit* checkpoint
+    (never trained in either framework), so the torch side re-creates
+    them via from_pretrained."""
     out["init_latents"] = _np(params["init_latents"])
     for k, v in export_torch_slot_attention(
             params["slot_attention"]).items():
         out[f"slot_attention.{k}"] = v
     enc = params["encoder"]
+    if enc_resnet:
+        stages = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3)}
+        for k, v in export_torch_resnet(
+                enc["ResNet_0"], stages[enc_resnet],
+                use_layer4=enc_use_layer4).items():
+            out[f"encoder.{k}"] = v
     for i in range(num_enc_layers):
         _inv_conv(out, f"encoder.{i}.0", enc[f"ConvNormAct_{i}"]["Conv_0"])
     _inv_linear(out, "encoder_pos_embedding.dense",
@@ -210,12 +222,13 @@ def _inv_sa_encoder_side(out, params, num_enc_layers):
     _inv_linear(out, "encoder_out_layer.3", enc["Dense_1"])
 
 
-def export_torch_sa(params, num_enc_layers, num_dec_layers):
+def export_torch_sa(params, num_enc_layers, num_dec_layers,
+                    **enc_kwargs):
     """flax `models.sa.SA` params -> reference SA image model state_dict
     (img_based/models/slot_attention.py:115-425, plain-CNN encoder).
     Also the backbone for export_torch_savi."""
     out: Dict[str, np.ndarray] = {}
-    _inv_sa_encoder_side(out, params, num_enc_layers)
+    _inv_sa_encoder_side(out, params, num_enc_layers, **enc_kwargs)
 
     dec = params["decoder"]
     _inv_linear(out, "decoder_pos_embedding.dense",
@@ -246,14 +259,15 @@ def _export_predictor(out, pred_params, pred_num_layers, pred_num_heads,
 
 def export_torch_sa_diffusion(params, num_enc_layers, num_res_blocks,
                               channel_mult, attention_resolutions,
-                              resblock_updown=False, transformer_depth=1):
+                              resblock_updown=False, transformer_depth=1,
+                              **enc_kwargs):
     """flax `models.slot_diffusion.SADiffusion` params -> reference
     SADiffusion state_dict (img_based/models/sa_diffusion.py:73-247,
     CondDDPM decoder). Diffusion schedule buffers and the LitEma shadow
     are recomputed/re-initialized by the torch ctor — load with
     strict=False."""
     out: Dict[str, np.ndarray] = {}
-    _inv_sa_encoder_side(out, params, num_enc_layers)
+    _inv_sa_encoder_side(out, params, num_enc_layers, **enc_kwargs)
     unet = export_torch_unet(
         params["dm_decoder"]["unet"], num_res_blocks=num_res_blocks,
         channel_mult=channel_mult,
@@ -270,14 +284,15 @@ def export_torch_savi_diffusion(params, num_enc_layers, pred_num_layers,
                                 channel_mult, attention_resolutions,
                                 resblock_updown=False,
                                 transformer_depth=1,
-                                pred_rnn=False, rnn_hidden_size=None):
+                                pred_rnn=False, rnn_hidden_size=None,
+                                **enc_kwargs):
     """flax `models.slot_diffusion.SAViDiffusion` params -> reference
     SAViDiffusion state_dict (video_based/models/savi_diffusion.py:74-302).
     Schedule buffers / LitEma shadows are rebuilt by the torch ctor —
     load with strict=False."""
     out: Dict[str, np.ndarray] = {}
     savi = params["savi"]
-    _inv_sa_encoder_side(out, savi, num_enc_layers)
+    _inv_sa_encoder_side(out, savi, num_enc_layers, **enc_kwargs)
     _export_predictor(out, savi["predictor"], pred_num_layers,
                       pred_num_heads, pred_rnn=pred_rnn,
                       rnn_hidden_size=rnn_hidden_size)
@@ -292,11 +307,12 @@ def export_torch_savi_diffusion(params, num_enc_layers, pred_num_layers,
     return out
 
 
-def export_torch_slate(params, num_enc_layers, dec_num_layers):
+def export_torch_slate(params, num_enc_layers, dec_num_layers,
+                       **enc_kwargs):
     """flax `models.slate.SLATE` params -> reference SLATE state_dict
     (img_based/models/slate/slate.py:16-200)."""
     out: Dict[str, np.ndarray] = {}
-    _inv_sa_encoder_side(out, params, num_enc_layers)
+    _inv_sa_encoder_side(out, params, num_enc_layers, **enc_kwargs)
     for k, v in export_torch_dvae(params["dvae"]).items():
         out[f"dvae.{k}"] = v
     for k, v in export_torch_steve_transformer(
@@ -307,12 +323,13 @@ def export_torch_slate(params, num_enc_layers, dec_num_layers):
 
 def export_torch_steve(params, num_enc_layers, pred_num_layers,
                        pred_num_heads, dec_num_layers,
-                       pred_rnn=False, rnn_hidden_size=None):
+                       pred_rnn=False, rnn_hidden_size=None,
+                       **enc_kwargs):
     """flax `models.slate.STEVE` params -> reference STEVE state_dict
     (video_based/models/steve/steve.py:16-279)."""
     out: Dict[str, np.ndarray] = {}
     savi = params["savi"]
-    _inv_sa_encoder_side(out, savi, num_enc_layers)
+    _inv_sa_encoder_side(out, savi, num_enc_layers, **enc_kwargs)
     _export_predictor(out, savi["predictor"], pred_num_layers,
                       pred_num_heads, pred_rnn=pred_rnn,
                       rnn_hidden_size=rnn_hidden_size)
@@ -370,11 +387,13 @@ def export_torch_ldm_slotformer(params, enc_dec_dict, rollout_num_layers,
 
 def export_torch_savi(params, num_enc_layers, num_dec_layers,
                       pred_num_layers, pred_num_heads,
-                      pred_rnn=False, rnn_hidden_size=None):
+                      pred_rnn=False, rnn_hidden_size=None,
+                      **enc_kwargs):
     """flax `models.savi.SAVi` params -> reference SAVi video model
     state_dict (video_based/models/savi.py:117-565, plain-CNN encoder,
     transformer predictor without the RNN wrapper)."""
-    out = export_torch_sa(params, num_enc_layers, num_dec_layers)
+    out = export_torch_sa(params, num_enc_layers, num_dec_layers,
+                          **enc_kwargs)
     _export_predictor(out, params["predictor"], pred_num_layers,
                       pred_num_heads, pred_rnn=pred_rnn,
                       rnn_hidden_size=rnn_hidden_size)

@@ -1923,3 +1923,121 @@ def test_savi_rnn_predictor_matches_reference():
     np.testing.assert_allclose(
         np.transpose(np.asarray(out_j["recon_img"]), (0, 1, 4, 2, 3)),
         out_t["recon_img"].numpy(), rtol=5e-4, atol=5e-5)
+
+
+def test_sa_resnet_encoder_full_model_matches_reference():
+    """SA with the GN-ResNet18 backbone — the encoder layout every
+    published CLEVRTex/CelebA/MOVi config actually uses
+    (enc_dict.resnet='resnet18', slot_attention.py:184-199) — full-model
+    forward + loss on converted weights."""
+    ref_sa = ref_img_import("slot_attention")
+    from slotdiffusion_tpu.models.sa import SA
+    from slotdiffusion_tpu.models.torch_convert import convert_torch_sa
+
+    enc = dict(resnet="resnet18", use_layer4=False, enc_out_channels=32,
+               enc_channels=(3,))
+    torch.manual_seed(191)
+    tm = ref_sa.SA(resolution=(64, 64), slot_dict=dict(_SA_SLOT),
+                   enc_dict=dict(enc), dec_dict=dict(_SA_DEC),
+                   loss_dict=dict(use_img_recon_loss=True))
+    tm.eval()
+    params = convert_torch_sa(tm.state_dict(), num_enc_layers=0,
+                              num_dec_layers=2, enc_resnet="resnet18",
+                              enc_use_layer4=False)
+    jm = SA(resolution=(64, 64), slot_dict=dict(_SA_SLOT),
+            enc_dict=dict(enc), dec_dict=dict(_SA_DEC),
+            loss_dict=dict(use_img_recon_loss=True))
+    init = jm.init(jax.random.PRNGKey(0),
+                   {"img": jnp.zeros((1, 64, 64, 3))})
+    _tree_paths_match(init["params"], params)
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+    rng = np.random.RandomState(192)
+    x = rng.rand(2, 3, 64, 64).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        out_t = tm({"img": torch.tensor(x)})
+    out_j = jm.apply(variables,
+                     {"img": jnp.asarray(np.transpose(x, (0, 2, 3, 1)))},
+                     train=False)
+    np.testing.assert_allclose(np.asarray(out_j["slots"]),
+                               out_t["slots"].numpy(), rtol=5e-4,
+                               atol=5e-5)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out_j["recon_img"]), (0, 3, 1, 2)),
+        out_t["recon_img"].numpy(), rtol=5e-4, atol=5e-5)
+
+
+def test_sa_dino_encoder_converter_branch():
+    """The enc_dino branch of the SA-family converters (reference COCO/VOC
+    configs: enc_dict.dino='dino-vits8'). The reference module needs
+    `ViTModel.from_pretrained` (zero egress here), so the checkpoint
+    layout is simulated: a locally-built HF ViT's state dict under
+    'encoder.dino.' plus freshly-built torch heads — and the converted
+    flax SAEncoder must reproduce the torch replay of the reference's
+    encode path (dino.py:44-54 strip-CLS/reshape + _get_encoder_out
+    pos-embed/flatten/LN/MLP, slot_attention.py:294-304)."""
+    transformers = pytest.importorskip("transformers")
+    from torch import nn as tnn
+
+    from slotdiffusion_tpu.models.sa import SAEncoder
+    from slotdiffusion_tpu.models.torch_convert import (_sa_encoder_side,
+                                                        numpy_state_dict)
+    ref_utils = ref_import("utils")
+
+    C = 32
+    cfg = transformers.ViTConfig(
+        hidden_size=384, num_hidden_layers=12, num_attention_heads=6,
+        intermediate_size=1536, image_size=32, patch_size=8,
+        layer_norm_eps=1e-6, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0)
+    torch.manual_seed(201)
+    hf = transformers.ViTModel(cfg, add_pooling_layer=False)
+    hf.eval()
+    pos_embed = ref_utils.SoftPositionEmbed(hidden_size=384,
+                                            resolution=(4, 4))
+    out_layer = tnn.Sequential(tnn.LayerNorm(384), tnn.Linear(384, C),
+                               tnn.ReLU(), tnn.Linear(C, C))
+    ref_savi = ref_import("savi")
+    slot_attn = ref_savi.SlotAttention(in_features=C, num_iterations=2,
+                                       num_slots=4, slot_size=32,
+                                       mlp_hidden_size=64)
+
+    # simulate the reference SA-DINO checkpoint key layout
+    sd = {}
+    for k, v in hf.state_dict().items():
+        sd[f"encoder.dino.{k}"] = v
+    for k, v in pos_embed.state_dict().items():
+        sd[f"encoder_pos_embedding.{k}"] = v
+    for k, v in out_layer.state_dict().items():
+        sd[f"encoder_out_layer.{k}"] = v
+    for k, v in slot_attn.state_dict().items():
+        sd[f"slot_attention.{k}"] = v
+    sd["init_latents"] = torch.zeros(1, 4, 32)
+
+    tree = _sa_encoder_side(numpy_state_dict(sd), num_enc_layers=0,
+                            enc_dino=True, dino_small=True)
+
+    enc_dict = dict(dino="dino-vits8", patch_size=8, small_size=True,
+                    enc_out_channels=C)
+    jm = SAEncoder(resolution=(32, 32), enc_dict=enc_dict,
+                   enc_out_channels=C)
+    init = jm.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    _tree_paths_match(init["params"], tree["encoder"])
+
+    rng = np.random.RandomState(202)
+    img = rng.rand(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        # reference DINOEncoder.forward (dino.py:44-54)
+        h = hf(pixel_values=torch.tensor(img)).last_hidden_state[:, 1:]
+        h = h.reshape(2, 4, 4, 384).permute(0, 3, 1, 2)
+        # reference SA._get_encoder_out (slot_attention.py:294-304)
+        h = pos_embed(h)
+        h = torch.flatten(h, start_dim=2, end_dim=3).permute(0, 2, 1)
+        ref_feats = out_layer(h).numpy()
+
+    feats, vis_res = jm.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, tree["encoder"])},
+        jnp.asarray(np.transpose(img, (0, 2, 3, 1))))
+    assert vis_res == (4, 4)
+    np.testing.assert_allclose(np.asarray(feats), ref_feats, rtol=5e-4,
+                               atol=5e-5)

@@ -515,3 +515,31 @@ def test_savi_rnn_predictor_export_roundtrip():
         y1 = tm({"img": x})["slots"].numpy()
         y2 = tm2({"img": x})["slots"].numpy()
     np.testing.assert_allclose(y1, y2, rtol=1e-6, atol=1e-7)
+
+
+def test_sa_resnet_export_roundtrip():
+    ref_sa = ref_img_import("slot_attention")
+    slot = dict(num_slots=4, slot_size=32, slot_mlp_size=64,
+                num_iterations=2)
+    enc = dict(resnet="resnet18", use_layer4=False, enc_out_channels=32,
+               enc_channels=(3,))
+    dec = dict(dec_channels=(32, 16, 16), dec_resolution=(16, 16),
+               dec_ks=5, dec_norm="")
+    torch.manual_seed(21)
+    tm = ref_sa.SA(resolution=(64, 64), slot_dict=dict(slot),
+                   enc_dict=dict(enc), dec_dict=dict(dec),
+                   loss_dict=dict(use_img_recon_loss=True))
+    tree = tc.convert_torch_sa(tm.state_dict(), num_enc_layers=0,
+                               num_dec_layers=2, enc_resnet="resnet18",
+                               enc_use_layer4=False)
+    out = te.export_torch_sa(tree, num_enc_layers=0, num_dec_layers=2,
+                             enc_resnet="resnet18", enc_use_layer4=False)
+    sd = {k: np.array(v.detach().cpu().numpy())
+          for k, v in tm.state_dict().items()}
+    for k, v in out.items():
+        assert k in sd
+        np.testing.assert_array_equal(v, sd[k], err_msg=k)
+    # every trainable param except the unused layer4 must be exported
+    trainable = {n for n, p in tm.named_parameters()
+                 if p.requires_grad and not n.startswith("encoder.layer4")}
+    assert not trainable - set(out)
