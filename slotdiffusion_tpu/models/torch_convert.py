@@ -282,7 +282,8 @@ def convert_torch_sa_diffusion(state_dict, num_enc_layers,
                                num_res_blocks, channel_mult,
                                attention_resolutions,
                                resblock_updown=False,
-                               transformer_depth=1, **enc_kwargs):
+                               transformer_depth=1, enc_dec_dict=None,
+                               **enc_kwargs):
     """Full reference SADiffusion (img_based/models/sa_diffusion.py:73-247,
     plain-CNN encoder, CondDDPM decoder) -> flax
     `models.slot_diffusion.SADiffusion` params: the SA encode side with
@@ -298,6 +299,11 @@ def convert_torch_sa_diffusion(state_dict, num_enc_layers,
         attention_resolutions=attention_resolutions,
         resblock_updown=resblock_updown,
         transformer_depth=transformer_depth)}
+    if enc_dec_dict is not None:
+        # LDM decoder (sa_ldm/savi_ldm configs): the frozen VQ-VAE first
+        # stage rides inside the same checkpoint under dm_decoder.vae
+        params["dm_decoder"]["vae"] = {"vqvae": convert_torch_vqvae(
+            _sub_state(sd, "dm_decoder.vae.vqvae."), enc_dec_dict)}
     return params
 
 
@@ -308,7 +314,7 @@ def convert_torch_savi_diffusion(state_dict, num_enc_layers,
                                  resblock_updown=False,
                                  transformer_depth=1,
                                  pred_rnn=False, rnn_hidden_size=None,
-                                 **enc_kwargs):
+                                 enc_dec_dict=None, **enc_kwargs):
     """Full reference SAViDiffusion (video_based/models/savi_diffusion.py:
     74-302, plain-CNN encoder, transformer predictor, CondDDPM decoder) ->
     flax `models.slot_diffusion.SAViDiffusion` params. The flax model
@@ -322,15 +328,16 @@ def convert_torch_savi_diffusion(state_dict, num_enc_layers,
     unet_sd = {k[len("dm_decoder.model.diffusion_model."):]: v
                for k, v in sd.items()
                if k.startswith("dm_decoder.model.diffusion_model.")}
-    return {
-        "savi": savi,
-        "dm_decoder": {"unet": convert_torch_unet(
-            unet_sd, num_res_blocks=num_res_blocks,
-            channel_mult=channel_mult,
-            attention_resolutions=attention_resolutions,
-            resblock_updown=resblock_updown,
-            transformer_depth=transformer_depth)},
-    }
+    dm = {"unet": convert_torch_unet(
+        unet_sd, num_res_blocks=num_res_blocks,
+        channel_mult=channel_mult,
+        attention_resolutions=attention_resolutions,
+        resblock_updown=resblock_updown,
+        transformer_depth=transformer_depth)}
+    if enc_dec_dict is not None:
+        dm["vae"] = {"vqvae": convert_torch_vqvae(
+            _sub_state(sd, "dm_decoder.vae.vqvae."), enc_dec_dict)}
+    return {"savi": savi, "dm_decoder": dm}
 
 
 def _sub_state(sd, prefix):

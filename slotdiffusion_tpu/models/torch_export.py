@@ -260,7 +260,7 @@ def _export_predictor(out, pred_params, pred_num_layers, pred_num_heads,
 def export_torch_sa_diffusion(params, num_enc_layers, num_res_blocks,
                               channel_mult, attention_resolutions,
                               resblock_updown=False, transformer_depth=1,
-                              **enc_kwargs):
+                              enc_dec_dict=None, **enc_kwargs):
     """flax `models.slot_diffusion.SADiffusion` params -> reference
     SADiffusion state_dict (img_based/models/sa_diffusion.py:73-247,
     CondDDPM decoder). Diffusion schedule buffers and the LitEma shadow
@@ -276,6 +276,11 @@ def export_torch_sa_diffusion(params, num_enc_layers, num_res_blocks,
         transformer_depth=transformer_depth)
     for k, v in unet.items():
         out[f"dm_decoder.model.diffusion_model.{k}"] = v
+    if enc_dec_dict is not None:
+        for k, v in export_torch_vqvae(
+                params["dm_decoder"]["vae"]["vqvae"],
+                enc_dec_dict).items():
+            out[f"dm_decoder.vae.vqvae.{k}"] = v
     return out
 
 
@@ -285,7 +290,7 @@ def export_torch_savi_diffusion(params, num_enc_layers, pred_num_layers,
                                 resblock_updown=False,
                                 transformer_depth=1,
                                 pred_rnn=False, rnn_hidden_size=None,
-                                **enc_kwargs):
+                                enc_dec_dict=None, **enc_kwargs):
     """flax `models.slot_diffusion.SAViDiffusion` params -> reference
     SAViDiffusion state_dict (video_based/models/savi_diffusion.py:74-302).
     Schedule buffers / LitEma shadows are rebuilt by the torch ctor —
@@ -304,6 +309,11 @@ def export_torch_savi_diffusion(params, num_enc_layers, pred_num_layers,
         transformer_depth=transformer_depth)
     for k, v in unet.items():
         out[f"dm_decoder.model.diffusion_model.{k}"] = v
+    if enc_dec_dict is not None:
+        for k, v in export_torch_vqvae(
+                params["dm_decoder"]["vae"]["vqvae"],
+                enc_dec_dict).items():
+            out[f"dm_decoder.vae.vqvae.{k}"] = v
     return out
 
 
