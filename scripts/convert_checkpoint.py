@@ -198,8 +198,7 @@ def main():
         import numpy as np
         import torch
 
-        from slotdiffusion_tpu.training.checkpoint import (
-            load_train_state, upgrade_legacy_params)
+        from slotdiffusion_tpu.training.checkpoint import load_train_state
         raw = load_train_state(args.weight)
         tree = raw["params"] if "params" in raw else raw
         if args.use_ema and raw.get("ema", {}).get("shadow") is not None:
