@@ -94,6 +94,11 @@ def build_method(model, datamodule, params, ckp_path=None, **kwargs):
         step_scalars["loss_decay_factor"] = lambda step: cosine_anneal(
             step, decay_min, 1.0, 0, decay_steps)
 
+    # params.seed must reach the Trainer's init/RNG seed, not just the
+    # loader shuffle — the dup_run seed-duplication protocol
+    # (dup_run_tpu.sh, reference dup_run_sbatch.sh:27-36) varies the
+    # whole run, matching nerv's global torch seeding
+    kwargs.setdefault("seed", params.get("seed", 0))
     return Trainer(
         model=model,
         datamodule=datamodule,

@@ -499,3 +499,44 @@ def test_memory_lean_optimizers():
         new_params = optax.apply_updates(params, updates)
         for l in jax.tree_util.tree_leaves(new_params):
             assert np.isfinite(np.asarray(l, dtype=np.float32)).all()
+
+
+def test_params_seed_varies_model_init():
+    """params.seed must vary the Trainer's model init (the dup_run
+    seed-duplication protocol), not just loader shuffling."""
+    def init_params(seed):
+        params = BaseParams()
+        params.model = "SA"
+        params.resolution = (32, 32)
+        params.max_epochs = 1
+        params.lr = 1e-3
+        params.train_batch_size = 8
+        params.val_batch_size = 8
+        params.num_workers = 0
+        params.seed = seed
+        params.slot_dict = dict(num_slots=4, slot_size=32,
+                                slot_mlp_size=64, num_iterations=2)
+        params.enc_dict = dict(enc_channels=(3, 16, 16), enc_ks=5,
+                               enc_out_channels=32, enc_norm="")
+        params.dec_dict = dict(dec_channels=(32, 16, 16),
+                               dec_resolution=(8, 8), dec_ks=5,
+                               dec_norm="")
+        params.loss_dict = dict(use_img_recon_loss=True)
+        train_set = SyntheticImageDataset(resolution=(32, 32),
+                                          num_samples=16)
+        dm = DataModule(params, train_set, train_set)
+        method = build_method(model=build_model(params), datamodule=dm,
+                              params=params, ckp_path=None)
+        from slotdiffusion_tpu.parallel.mesh import shard_batch
+        batch = next(iter(dm.train_loader))
+        state = method._init_state(shard_batch(batch, method.mesh))
+        return jax.device_get(state.params)
+
+    p1, p2, p1b = init_params(1), init_params(2), init_params(1)
+    l1 = jax.tree_util.tree_leaves(p1)
+    l2 = jax.tree_util.tree_leaves(p2)
+    l1b = jax.tree_util.tree_leaves(p1b)
+    assert any(not np.array_equal(a, b) for a, b in zip(l1, l2)), \
+        "different seeds must give different inits"
+    assert all(np.array_equal(a, b) for a, b in zip(l1, l1b)), \
+        "same seed must reproduce the same init"
