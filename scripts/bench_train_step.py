@@ -23,7 +23,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--optimizer", default="optax",
-                        choices=["optax", "fused"],
+                        choices=["optax", "fused", "adam_bf16"],
                         help="optax.adam vs training.optim.fused_adam "
                              "(identical math, single per-leaf kernel)")
     parser.add_argument("--mode", default="full",
@@ -52,7 +52,14 @@ def main():
     ctx = jax.random.normal(rng, (B, SLOTS, SLOT_DIM), jnp.float32)
     eps = jax.random.normal(jax.random.PRNGKey(3), x0.shape, jnp.float32)
     params = unet.init(jax.random.PRNGKey(1), x0, t, ctx)["params"]
-    tx = fused_adam(1e-4) if args.optimizer == "fused" else optax.adam(1e-4)
+    if args.optimizer == "fused":
+        tx = fused_adam(1e-4)
+    elif args.optimizer == "adam_bf16":
+        # memory-lean variant (training/optim.py): bf16 first moment
+        # halves mu's HBM traffic in the update
+        tx = optax.adam(1e-4, mu_dtype=jnp.bfloat16)
+    else:
+        tx = optax.adam(1e-4)
     opt_state = tx.init(params)
 
     def loss_fn(params, x, eps):
