@@ -2041,3 +2041,46 @@ def test_sa_dino_encoder_converter_branch():
     assert vis_res == (4, 4)
     np.testing.assert_allclose(np.asarray(feats), ref_feats, rtol=5e-4,
                                atol=5e-5)
+
+
+def test_vqvae_temporal_wrapper_matches_reference():
+    """The reference's temporal_wrapper (VQVAE.py:14-37) makes every
+    VQ-VAE API accept [B, T, C, H, W] by flattening T into batch and
+    unflattening after — the rebuild's 5-D handling must produce the
+    same encode/quantize-decode outputs and token ids in the same
+    order."""
+    ref_vqvae = ref_import("vqvae.VQVAE")
+    from slotdiffusion_tpu.models.torch_convert import convert_torch_vqvae
+    from slotdiffusion_tpu.models.vqvae import VQVAE
+
+    enc_dec = dict(resolution=16, in_channels=3, z_channels=4, ch=32,
+                   ch_mult=[1, 2], num_res_blocks=1,
+                   attn_resolutions=[], out_ch=3, dropout=0.0)
+    vq = dict(n_embed=32, embed_dim=4)
+    torch.manual_seed(211)
+    tm = ref_vqvae.VQVAE(enc_dec_dict=dict(enc_dec),
+                         vq_dict=dict(vq, percept_loss_w=1.0),
+                         use_loss=False)
+    tm.eval()
+    params = convert_torch_vqvae(tm.state_dict(), enc_dec)
+    jm = VQVAE(enc_dec_dict=enc_dec, vq_dict=vq)
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+    rng = np.random.RandomState(212)
+    x = rng.rand(2, 3, 3, 16, 16).astype(np.float32)  # [B, T, C, H, W]
+    xt = torch.tensor(x)
+    xj = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+
+    with torch.no_grad():
+        z_t = tm.encode(xt).numpy()             # [B, T, C, h, w]
+        rec_t = tm.quantize_decode(tm.encode(xt)).numpy()
+
+    z_j = jm.apply(variables, xj, method=VQVAE.encode)
+    assert np.asarray(z_j).shape[:2] == (2, 3)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(z_j), (0, 1, 4, 2, 3)), z_t,
+        rtol=2e-4, atol=2e-5)
+    rec_j = jm.apply(variables, z_j, method=VQVAE.quantize_decode)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(rec_j), (0, 1, 4, 2, 3)), rec_t,
+        rtol=2e-4, atol=5e-5)
