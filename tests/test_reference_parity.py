@@ -2084,3 +2084,40 @@ def test_vqvae_temporal_wrapper_matches_reference():
     np.testing.assert_allclose(
         np.transpose(np.asarray(rec_j), (0, 1, 4, 2, 3)), rec_t,
         rtol=2e-4, atol=5e-5)
+
+
+def test_gumbel_softmax_and_cosine_anneal_match_reference(monkeypatch):
+    """steve_utils.gumbel_softmax (exponential-sample trick, tau scaling,
+    straight-through hard path) with PINNED exponential noise on both
+    sides, and the cosine_anneal tau schedule over a step sweep
+    (steve_utils.py:27-69)."""
+    ref_su = ref_import("steve.steve_utils")
+    import slotdiffusion_tpu.models.blocks as jblocks
+    from slotdiffusion_tpu.models.blocks import cosine_anneal, gumbel_softmax
+
+    rng = np.random.RandomState(221)
+    logits = rng.randn(2, 5, 7).astype(np.float32)
+    exp_fix = rng.exponential(size=(2, 5, 7)).astype(np.float32)
+
+    monkeypatch.setattr(
+        torch.Tensor, "exponential_",
+        lambda self, *a, **k: self.copy_(torch.tensor(exp_fix)))
+    monkeypatch.setattr(
+        jblocks.jax.random, "exponential",
+        lambda key, shape, dtype=jnp.float32: jnp.asarray(exp_fix))
+
+    for tau in (1.0, 0.3):
+        for hard in (False, True):
+            ref_y = ref_su.gumbel_softmax(
+                torch.tensor(logits), tau=tau, hard=hard, dim=-1).numpy()
+            y = gumbel_softmax(jax.random.PRNGKey(0), jnp.asarray(logits),
+                               tau=tau, hard=hard, axis=-1)
+            np.testing.assert_allclose(np.asarray(y), ref_y, rtol=1e-5,
+                                       atol=1e-6,
+                                       err_msg=f"tau={tau} hard={hard}")
+
+    for step in (0, 3, 10, 25, 50, 80, 100, 120):
+        ref_v = ref_su.cosine_anneal(step, 1.0, 0.1, 10, 100)
+        v = float(cosine_anneal(step, 1.0, 0.1, 10, 100))
+        np.testing.assert_allclose(v, ref_v, rtol=1e-6,
+                                   err_msg=f"step={step}")
