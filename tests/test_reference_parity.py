@@ -1848,6 +1848,35 @@ def test_ldm_slotformer_full_model_matches_reference(monkeypatch):
                            method=SlotFormer.compute_losses)
     np.testing.assert_allclose(float(losses_j["slot_recon_loss"]), loss_t,
                                rtol=5e-4)
+    # per-step eval losses + temporal loss decay + short-video masking
+    # live in the BASE SlotFormer.calc_train_loss (slotformer.py:264-298)
+    # — LDMSlotFormer's override drops them (ldm_slotformer.py:173-185),
+    # silently ignoring the loss_decay_factor the method anneals
+    # (vp_vqa/method.py:188-210). The rebuild honors the base semantics
+    # when the config opts in (use_loss_decay), so compare against the
+    # base method invoked unbound on the same weights.
+    base_loss = ref_vp_import("slotformer").SlotFormer.calc_train_loss
+    with torch.no_grad():
+        base_t = base_loss(tm, dd_t, out_t)
+    for step in range(4):
+        np.testing.assert_allclose(
+            float(losses_j[f"slot_recon_loss_{step + 1}"]),
+            base_t[f"slot_recon_loss_{step + 1}"].item(), rtol=5e-4)
+
+    vid_len = np.array([5, 7], np.int64)  # video 0 truncates at step 2
+    tm.loss_decay_factor = 0.8
+    dd_t2 = {"slots": torch.tensor(slots),
+             "vid_len": torch.tensor(vid_len)}
+    with torch.no_grad():
+        loss_t2 = base_loss(tm, dd_t2, out_t)["slot_recon_loss"].item()
+    _, losses_j2 = jm.apply(
+        variables,
+        {"slots": jnp.asarray(slots), "vid_len": jnp.asarray(vid_len)},
+        train=False, sched={"loss_decay_factor": 0.8},
+        method=SlotFormer.compute_losses)
+    np.testing.assert_allclose(float(losses_j2["slot_recon_loss"]),
+                               loss_t2, rtol=5e-4)
+    tm.loss_decay_factor = 1.0
 
     # frozen-LDM decode of rolled-out slots, pinned x_T. NB:
     # ldm_slotformer.py imports CondDDPM through the absolute
