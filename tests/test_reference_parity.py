@@ -2150,3 +2150,33 @@ def test_gumbel_softmax_and_cosine_anneal_match_reference(monkeypatch):
         v = float(cosine_anneal(step, 1.0, 0.1, 10, 100))
         np.testing.assert_allclose(v, ref_v, rtol=1e-6,
                                    err_msg=f"step={step}")
+
+
+def test_overlap_preproc_and_metrics_match_img_reference():
+    """The COCO overlap-pixel protocol (img_based eval_utils.py:119-135,
+    DINOSAUR): overlap pixels -> background in GT, -> a fresh class in
+    pred; the img-side metric entry points apply it before scoring —
+    both the preproc and the composed metrics must match."""
+    ref_ieval = ref_img_import("eval_utils")
+    from slotdiffusion_tpu.ops import metrics as M
+
+    rng = np.random.RandomState(231)
+    gt = rng.randint(0, 5, size=(3, 16, 16))
+    pred = rng.randint(0, 7, size=(3, 16, 16))
+    pred[0] = gt[0]
+    ov = (rng.rand(3, 16, 16) < 0.15).astype(np.int64)
+
+    g, p = M.preproc_masks_overlap(gt[0], pred[0], ov[0])
+    g_t, p_t = ref_ieval.preproc_masks_overlap(
+        torch.tensor(gt[0]), torch.tensor(pred[0]), torch.tensor(ov[0]))
+    assert np.array_equal(g, g_t.numpy())
+    assert np.array_equal(p, p_t.numpy())
+
+    for name in ("ARI_metric", "fARI_metric", "miou_metric",
+                 "fmiou_metric", "mbo_metric"):
+        ref_v = getattr(ref_ieval, name)(
+            torch.tensor(gt), torch.tensor(pred),
+            inst_overlap_mask=torch.tensor(ov))
+        ours_v = getattr(M, name)(gt, pred, inst_overlap_mask=ov)
+        np.testing.assert_allclose(float(ours_v), float(ref_v), rtol=1e-6,
+                                   atol=1e-8, err_msg=name)
