@@ -2180,3 +2180,20 @@ def test_overlap_preproc_and_metrics_match_img_reference():
         ours_v = getattr(M, name)(gt, pred, inst_overlap_mask=ov)
         np.testing.assert_allclose(float(ours_v), float(ref_v), rtol=1e-6,
                                    atol=1e-8, err_msg=name)
+
+
+def test_postproc_mask_matches_reference():
+    """postproc_mask (video eval_utils.py:16-37): low-confidence pixels
+    (spatial max < FG_THRE) are claimed by the weakest slot as
+    background before argmax — the exact pre-argmax protocol behind
+    every reported video seg number."""
+    ref_eval = ref_import("eval_utils")
+    from slotdiffusion_tpu.ops.metrics import postproc_mask
+
+    rng = np.random.RandomState(241)
+    m = rng.rand(2, 3, 5, 8, 8).astype(np.float32)
+    # force some clearly-background pixels
+    m[0, 0, :, :3, :3] *= 0.05
+    ref_out = ref_eval.postproc_mask(torch.tensor(m)).numpy()
+    ours = np.asarray(postproc_mask(m))
+    assert np.array_equal(ours, ref_out)
