@@ -70,7 +70,8 @@ def bench(root, args, fastio):
         train.load_mask = True
 
     loader = DataLoader(train, batch_size=args.bs, shuffle=True,
-                        drop_last=True, num_workers=args.workers)
+                        drop_last=True, num_workers=args.workers,
+                        worker_mode=args.worker_mode)
     best = 0.0
     for rep in range(2):  # rep 0 doubles as page-cache warmup
         it = iter(loader)
@@ -92,6 +93,9 @@ def main():
     ap.add_argument("--bs", type=int, default=32)
     ap.add_argument("--batches", type=int, default=20)
     ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--worker_mode", default="thread",
+                    choices=("thread", "process"),
+                    help="threaded workers vs spawn worker processes")
     ap.add_argument("--masks", action="store_true",
                     help="also decode segmentation masks (eval pipeline)")
     ap.add_argument("--root", default="",

@@ -84,6 +84,43 @@ def test_loader_retries_corrupt_samples():
     assert 3 not in seen and 7 not in seen  # resampled to other indices
 
 
+class _BrokenDataset(_ToyDataset):
+    def __getitem__(self, idx):
+        if idx == 5:
+            raise ValueError("hard failure, not a SampleError")
+        return super().__getitem__(idx)
+
+
+def test_loader_process_mode_matches_thread_mode():
+    # spawn-based worker processes (torch num_workers analog) must produce
+    # the identical deterministic batch stream as the threaded loader
+    mk = lambda mode: DataLoader(_ToyDataset(32), batch_size=8, shuffle=True,
+                                 num_workers=2, seed=3, worker_mode=mode)
+    thread_epoch = [b["data_idx"].tolist() for b in mk("thread")]
+    proc_epoch = [b["data_idx"].tolist() for b in mk("process")]
+    assert thread_epoch == proc_epoch
+
+
+def test_loader_process_mode_retries_and_shards():
+    loader = DataLoader(_ToyDataset(16, bad=(3, 7)), batch_size=4,
+                        shuffle=False, num_workers=2, seed=0,
+                        process_index=1, process_count=2,
+                        worker_mode="process")
+    seen = []
+    for b in loader:
+        assert b["img"].shape[0] == 2
+        seen.extend(b["data_idx"].tolist())
+    assert len(seen) == 8
+    assert 3 not in seen and 7 not in seen
+
+
+def test_loader_process_mode_propagates_worker_exception():
+    loader = DataLoader(_BrokenDataset(16), batch_size=4, shuffle=False,
+                        num_workers=2, seed=0, worker_mode="process")
+    with pytest.raises(RuntimeError, match="hard failure"):
+        list(loader)
+
+
 def test_suppress_mask_idx():
     m = np.array([[0, 5], [9, 5]])
     out = suppress_mask_idx(m)
