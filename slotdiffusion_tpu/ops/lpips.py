@@ -104,6 +104,35 @@ def lpips_distance(x, y):
     return total
 
 
+def save_random_lpips_npz(out_path, seed=0):
+    """Write a randomly-initialized VGG16+LPIPS npz in the loader layout.
+
+    Zero-egress stand-in: lets the perceptual term be exercised end-to-end
+    in training/eval (graph, gradients, loss weighting) before the real
+    torchvision/lpips .pth files are available — swapping in real weights
+    is then purely a file drop (`convert_torch_lpips_npz`). He-style conv
+    scales keep activations/distances O(1) so the term trains stably.
+    """
+    rng = np.random.RandomState(seed)
+    out = {}
+    in_ch = 3
+    ci = 0
+    for spec in _VGG_CFG:
+        if spec == "M":
+            continue
+        fan_in = in_ch * 9
+        out[f"conv{ci}_w"] = rng.normal(
+            0, np.sqrt(2.0 / fan_in), (spec, in_ch, 3, 3)).astype(np.float32)
+        out[f"conv{ci}_b"] = np.zeros((spec,), np.float32)
+        in_ch = spec
+        ci += 1
+    for j, tap in enumerate(_TAPS):
+        ch = [c for c in _VGG_CFG if c != "M"][tap]
+        out[f"lin{j}_w"] = rng.uniform(0, 2.0 / ch, (ch,)).astype(np.float32)
+    np.savez(out_path, **out)
+    return out_path
+
+
 def convert_torch_lpips_npz(vgg_state_path, lpips_state_path, out_path):
     """Convert torchvision VGG16 + lpips-package linear weights to our npz.
 

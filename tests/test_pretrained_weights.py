@@ -69,6 +69,25 @@ def test_lpips_distance_properties(lpips_weights, rng):
     np.testing.assert_allclose(d_xx, 0.0, atol=1e-5)
 
 
+def test_save_random_lpips_npz_loads_full_vgg(tmp_path, monkeypatch):
+    # the zero-egress stand-in generator must emit the exact on-disk
+    # layout the loader expects, at real VGG16 widths
+    path = lpips_mod.save_random_lpips_npz(str(tmp_path / "rand.npz"),
+                                           seed=1)
+    monkeypatch.setenv(lpips_mod.WEIGHTS_ENV, path)
+    lpips_mod._load_weights.cache_clear()
+    try:
+        assert lpips_mod.lpips_available()
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        y = jnp.ones((1, 64, 64, 3), jnp.float32) * 0.5
+        d = np.asarray(lpips_mod.lpips_distance(x, y))
+        assert d.shape == (1,) and np.isfinite(d).all() and d[0] > 0
+        np.testing.assert_allclose(
+            np.asarray(lpips_mod.lpips_distance(x, x)), 0.0, atol=1e-6)
+    finally:
+        lpips_mod._load_weights.cache_clear()
+
+
 def _tiny_vqvae(percept_w):
     from slotdiffusion_tpu.models import build_model
     from slotdiffusion_tpu.utils.config import BaseParams
