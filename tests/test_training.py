@@ -243,7 +243,8 @@ def test_viz_files_written(tmp_path):
     assert pngs, "no viz files written"
 
 
-def _fit_tiny_vqvae(bs, accum, num_samples=16, max_epochs=2):
+def _fit_tiny_vqvae(bs, accum, num_samples=16, max_epochs=2,
+                    ckp_path=None, resume_from=None, max_steps=-1):
     """Trainer.fit on a tiny VQ-VAE; returns the final TrainState (host)."""
     params = BaseParams()
     params.model = "VQVAE"
@@ -255,6 +256,7 @@ def _fit_tiny_vqvae(bs, accum, num_samples=16, max_epochs=2):
     params.val_batch_size = bs
     params.num_workers = 1
     params.grad_accum_steps = accum
+    params.max_steps = max_steps
     params.use_ema = True
     params.ema_decay = 0.99
     # SGD: the update is linear in the gradient, so mean-of-micro-grads vs
@@ -277,8 +279,8 @@ def _fit_tiny_vqvae(bs, accum, num_samples=16, max_epochs=2):
     dm = DataModule(params, train_set, train_set)
     model = build_model(params)
     method = build_method(model=model, datamodule=dm, params=params,
-                          ckp_path=None)
-    method.fit(resume_from=None, san_check_val_step=0)
+                          ckp_path=ckp_path)
+    method.fit(resume_from=resume_from, san_check_val_step=0)
     assert method.total_steps == (max_epochs * len(dm.train_loader)) // accum
     return jax.device_get(method.state)
 
@@ -312,6 +314,38 @@ def test_grad_accum_matches_full_batch():
     for a, b in zip(jax.tree_util.tree_leaves(state_a.ema.shadow),
                     jax.tree_util.tree_leaves(state_b.ema.shadow)):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+
+
+def test_resume_is_bit_exact(tmp_path):
+    """Preemption resume (SURVEY §5): train 2 epochs -> ckpt -> fresh
+    Trainer -> fit(resume_from=) for the remaining 2 epochs must be
+    bit-identical to an uninterrupted 4-epoch run. Holds because the
+    train-step RNG folds (state.rng, state.step) — both checkpointed —
+    and the loader reshuffles deterministically from (seed, epoch).
+    Covers params, EMA shadow, optimizer state, and the step counter.
+    The interrupted leg runs the SAME max_epochs (so the cosine schedule's
+    total_steps matches) and is cut by max_steps — the preemption shape."""
+    state_a = _fit_tiny_vqvae(bs=8, accum=1, max_epochs=4)
+
+    _fit_tiny_vqvae(bs=8, accum=1, max_epochs=4, max_steps=4,
+                    ckp_path=str(tmp_path / "run_b"))
+    state_b = _fit_tiny_vqvae(
+        bs=8, accum=1, max_epochs=4,
+        resume_from=str(tmp_path / "run_b" / "ckpt_last"))
+
+    assert int(state_a.step) == int(state_b.step)
+    assert int(state_a.ema.num_updates) == int(state_b.ema.num_updates)
+    for name, tree_a, tree_b in (
+            ("params", state_a.params, state_b.params),
+            ("ema", state_a.ema.shadow, state_b.ema.shadow),
+            ("opt", state_a.opt_state, state_b.opt_state)):
+        la = jax.tree_util.tree_leaves(tree_a)
+        lb = jax.tree_util.tree_leaves(tree_b)
+        assert len(la) == len(lb)
+        for a, b in zip(la, lb):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"resume mismatch in {name}")
 
 
 def test_eval_rng_varies_per_batch():
