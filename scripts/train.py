@@ -15,6 +15,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
 
+def apply_overrides(params, overrides):
+    """Apply KEY=VALUE strings to params (Python literals, else strings)."""
+    import ast
+    for kv in overrides:
+        key, sep, raw = kv.partition("=")
+        if not sep:
+            raise ValueError(f"--set expects KEY=VALUE, got {kv!r}")
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        setattr(params, key, value)
+    return params
+
+
 def main():
     parser = argparse.ArgumentParser(description="slotdiffusion-tpu trainer")
     parser.add_argument("--params", required=True,
@@ -39,6 +54,13 @@ def main():
     parser.add_argument("--profile_dir", default="",
                         help="write a jax.profiler trace of a few train "
                              "steps to this dir")
+    parser.add_argument("--set", dest="overrides", action="append",
+                        default=[], metavar="KEY=VALUE",
+                        help="override any params attribute post-load "
+                             "(the CLI analog of the reference scripts' "
+                             "params mutation, e.g. test_recon.py:203-208); "
+                             "values parse as Python literals, falling "
+                             "back to strings")
     args = parser.parse_args()
 
     if args.cpu:
@@ -70,6 +92,7 @@ def main():
         params.max_epochs = args.max_epochs
     if args.profile_dir:
         params.profile_dir = args.profile_dir
+    apply_overrides(params, args.overrides)
 
     built = build_dataset(params)
     collate_fn = None

@@ -35,3 +35,28 @@ def test_config_builds_model(path):
     # trainer-facing attrs every config must define
     for attr in ("lr", "max_epochs", "train_batch_size", "val_batch_size"):
         assert params.get(attr) is not None, (path, attr)
+
+
+def test_train_cli_set_overrides():
+    """scripts/train.py --set KEY=VALUE: literals parse, strings fall
+    back, malformed pairs error (the reference mutates params post-load
+    in its eval scripts; --set is the CLI analog)."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "train_cli", osp.join(ROOT, "scripts", "train.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["train_cli"] = spec.loader.exec_module(mod) or mod
+
+    from slotdiffusion_tpu.utils.config import BaseParams
+
+    p = BaseParams()
+    mod.apply_overrides(p, ["loader_worker_mode=process", "lr=5e-4",
+                            "grad_accum_steps=2", "use_ema=False",
+                            "resolution=(32, 32)"])
+    assert p.loader_worker_mode == "process"  # bare word -> string
+    assert p.lr == 5e-4 and p.grad_accum_steps == 2
+    assert p.use_ema is False and p.resolution == (32, 32)
+    with pytest.raises(ValueError):
+        mod.apply_overrides(p, ["no_equals_sign"])
