@@ -61,6 +61,21 @@ def build_dataset(params, val_only=False):
             all_slots["train"], seed=0, **kw)
         return train_set, val_set
 
+    if name == "synthetic_rollout_slots":
+        from ..utils.misc import load_obj
+        from .synthetic_slots import SyntheticRolloutSlotsDataset
+        all_slots = load_obj(params.rollout_root)
+        kw = dict(max_objects=params.get("max_objects", 4))
+        # extraction/render seeds: train 0, val/test 1 (see above)
+        test_split = all_slots.get("test", all_slots.get("val"))
+        if val_only:
+            return SyntheticRolloutSlotsDataset(test_split, seed=1, **kw)
+        train_set = SyntheticRolloutSlotsDataset(
+            all_slots["train"], seed=0, **kw)
+        val_set = SyntheticRolloutSlotsDataset(
+            all_slots.get("val", test_split), seed=1, **kw)
+        return train_set, val_set
+
     if name == "synthetic_slots":
         from .synthetic_slots import SyntheticSlotsDataset
         for d in ("slot_dict", "rollout_dict", "readout_dict"):

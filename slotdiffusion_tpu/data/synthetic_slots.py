@@ -53,6 +53,48 @@ class SyntheticSlotsDataset(Dataset):
         return out
 
 
+class SyntheticRolloutSlotsDataset(Dataset):
+    """Rolled-out-slots + derived-VQA-label pairs (synthetic analog of
+    `PhysionSlotsLabelDataset`, physion_slots.py:75-142 / reference
+    vp_vqa/datasets/physion.py:234-354).
+
+    `rollout_slots` is one split of the `scripts/rollout_physion_slots.py`
+    pkl ({name: [T, N, C]}, where names are the data_idx of the source
+    synthetic videos). The label is a physical property of the SOURCE
+    video — "does it contain >= ceil((max_objects+1)/2) objects" —
+    re-derived from the same (seed, idx) RNG the renderer used
+    (synthetic.py:92-94), so the readout must recover real scene content
+    from the rollout, mirroring Physion's contact-event labels. The
+    object count also serves as the per-task breakdown
+    (test_physion_vqa.py reads `all_tasks`)."""
+
+    def __init__(self, rollout_slots, seed=0, max_objects=4):
+        self.rollout_slots = rollout_slots
+        self.names = sorted(rollout_slots.keys(), key=lambda s: int(s))
+        self.seed = seed
+        self.max_objects = max_objects
+        self.label_min_objects = (max_objects + 2) // 2
+        self.all_tasks = [f"objects_{i + 1}" for i in range(max_objects)]
+
+    def __len__(self):
+        return len(self.names)
+
+    def _n_objects(self, video_idx):
+        # must match SyntheticVideoDataset.__getitem__ (synthetic.py:92-94)
+        rng = np.random.RandomState(self.seed * 100003 + video_idx)
+        return int(rng.randint(1, self.max_objects + 1))
+
+    def __getitem__(self, idx):
+        name = self.names[idx]
+        n_obj = self._n_objects(int(name))
+        return {
+            "slots": np.asarray(self.rollout_slots[name], np.float32),
+            "data_idx": np.int32(idx),
+            "label": np.int32(n_obj >= self.label_min_objects),
+            "task_idx": np.int32(n_obj - 1),
+        }
+
+
 class SyntheticVideoSlotsDataset(Dataset):
     """Extracted-slots + re-rendered-video pairs (synthetic Physion-slots
     analog, physion_slots.py:39-73).
