@@ -40,14 +40,22 @@ def evaluate(params, args, model, variables, seq_len, clip_len):
 
     params.load_mask = True
     val_set = build_dataset(params, val_only=(args.split == "test"))
+    collate_fn = None
     if isinstance(val_set, tuple):
+        if len(val_set) == 3:
+            collate_fn = val_set[2]
         val_set = val_set[1]
+    if params.dataset in ("coco", "synthetic_coco") and collate_fn is None:
+        # val_only returns the bare dataset; COCO's variable-length annos
+        # need the -1-padding collater either way (coco_transforms.py:180)
+        from slotdiffusion_tpu.data.coco import coco_collate_fn
+        collate_fn = coco_collate_fn
     if full_video and hasattr(val_set, "load_video"):
         val_set.load_video = True
 
     bs = args.bs if args.bs > 0 else params.val_batch_size
     loader = DataLoader(val_set, batch_size=bs, shuffle=False,
-                        drop_last=False,
+                        drop_last=False, collate_fn=collate_fn,
                         num_workers=params.get("num_workers", 4))
 
     @jax.jit

@@ -42,6 +42,20 @@ def build_dataset(params, val_only=False):
             num_samples=params.get("train_samples", 256), seed=0, **kw)
         return train_set, val_set
 
+    if name == "synthetic_coco":
+        from .coco import coco_collate_fn
+        from .synthetic import SyntheticCOCODataset
+        kw = dict(resolution=tuple(params.resolution),
+                  max_objects=params.get("max_objects", 4),
+                  load_anno=params.get("load_anno", True))
+        val_set = SyntheticCOCODataset(
+            num_samples=params.get("val_samples", 64), seed=1, **kw)
+        if val_only:
+            return val_set
+        train_set = SyntheticCOCODataset(
+            num_samples=params.get("train_samples", 512), seed=0, **kw)
+        return train_set, val_set, coco_collate_fn
+
     if name == "synthetic_video_slots":
         from ..utils.misc import load_obj
         from .synthetic_slots import SyntheticVideoSlotsDataset
@@ -54,6 +68,12 @@ def build_dataset(params, val_only=False):
         # extraction seeds: train split seed 0, val/test seed 1
         # (synthetic.py SyntheticVideoDataset seeds in builders above)
         val_split = all_slots.get("val", all_slots.get("test"))
+        if val_split is None:
+            raise ValueError(
+                "synthetic_video_slots: slots pkl at "
+                f"{params.slots_root!r} has neither a 'val' nor a 'test' "
+                f"split (found {sorted(all_slots)}); re-extract with "
+                "scripts/extract_slots.py which writes both")
         val_set = SyntheticVideoSlotsDataset(val_split, seed=1, **kw)
         if val_only:
             return val_set
@@ -68,6 +88,12 @@ def build_dataset(params, val_only=False):
         kw = dict(max_objects=params.get("max_objects", 4))
         # extraction/render seeds: train 0, val/test 1 (see above)
         test_split = all_slots.get("test", all_slots.get("val"))
+        if test_split is None:
+            raise ValueError(
+                "synthetic_rollout_slots: rollout pkl at "
+                f"{params.rollout_root!r} has neither a 'test' nor a 'val' "
+                f"split (found {sorted(all_slots)}); re-run "
+                "scripts/rollout_physion_slots.py to regenerate it")
         if val_only:
             return SyntheticRolloutSlotsDataset(test_split, seed=1, **kw)
         train_set = SyntheticRolloutSlotsDataset(

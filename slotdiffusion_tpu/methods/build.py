@@ -22,11 +22,29 @@ from ..models.blocks import cosine_anneal
 from .viz import build_viz_fn
 
 
+def _mask_metrics(gt, pred_id, overlap=None, prefix=""):
+    p = f"{prefix}/" if prefix else ""
+    return {
+        f"{p}ari": M.ARI_metric(gt, pred_id, overlap),
+        f"{p}fari": M.fARI_metric(gt, pred_id, overlap),
+        f"{p}miou": M.miou_metric(gt, pred_id, overlap),
+        f"{p}fmiou": M.fmiou_metric(gt, pred_id, overlap),
+        f"{p}mbo": M.mbo_metric(gt, pred_id, overlap),
+    }
+
+
 def seg_metrics_fn(np_batch, out):
     """ARI/FG-ARI/mIoU/FG-mIoU/mBO from predicted soft masks vs GT int masks.
 
     Handles images ([B, N, H, W(, 1)] masks) and videos ([B, T, N, H, W(, 1)])
     — videos fold T into space for temporal consistency (savi.py:517-522).
+
+    COCO/VOC dual protocol (reference img_based/test_seg.py:45-89): when the
+    batch carries `inst_masks`, every metric is computed TWICE — against the
+    instance masks (`inst/*`) and the semantic masks (`sem/*`) — and COCO's
+    `overlap_masks` (pixels covered by >1 instance) are passed into the
+    metrics so the DINOSAUR overlap-exclusion preprocessing
+    (img_based/models/eval_utils.py:119-135) applies to both.
     """
     if "masks" not in np_batch or "masks" not in out:
         return {}
@@ -40,13 +58,15 @@ def seg_metrics_fn(np_batch, out):
         B, T, H, W = pred_id.shape
         pred_id = pred_id.reshape(B, T * H, W)
         gt = gt.reshape(B, T * H, W)
-    return {
-        "ari": M.ARI_metric(gt, pred_id),
-        "fari": M.fARI_metric(gt, pred_id),
-        "miou": M.miou_metric(gt, pred_id),
-        "fmiou": M.fmiou_metric(gt, pred_id),
-        "mbo": M.mbo_metric(gt, pred_id),
-    }
+    if "inst_masks" in np_batch:
+        inst = np.asarray(np_batch["inst_masks"]).astype(np.int64)
+        overlap = np_batch.get("overlap_masks", None)
+        if overlap is not None:
+            overlap = np.asarray(overlap).astype(np.int64)
+        res = _mask_metrics(inst, pred_id, overlap, prefix="inst")
+        res.update(_mask_metrics(gt, pred_id, overlap, prefix="sem"))
+        return res
+    return _mask_metrics(gt, pred_id)
 
 
 def build_method(model, datamodule, params, ckp_path=None, **kwargs):

@@ -283,3 +283,38 @@ def test_steve_movi_layout(tmp_path):
     assert s["masks"].shape == (2, 32, 32)
     # 3 objects + background, ids suppressed to 0..3
     assert set(np.unique(s["masks"])) == {0, 1, 2, 3}
+
+
+@pytest.mark.fast
+def test_synthetic_coco_builder_and_collate():
+    """synthetic_coco mirrors the COCODataset sample contract (coco.py):
+    semantic `masks`, id-suppressed `inst_masks`, binary `overlap_masks`,
+    variable-length `annos` padded with -1 rows by coco_collate_fn."""
+    from slotdiffusion_tpu.data import build_dataset
+    from slotdiffusion_tpu.utils import BaseParams
+
+    params = BaseParams()
+    params.dataset = "synthetic_coco"
+    params.resolution = (32, 32)
+    params.train_samples = 8
+    params.val_samples = 4
+    params.max_objects = 3
+
+    train, val, collate = build_dataset(params)
+    s = train[0]
+    assert set(s) >= {"img", "masks", "inst_masks", "overlap_masks",
+                      "annos"}
+    assert s["masks"].shape == (32, 32) and s["masks"].max() <= 2
+    # inst ids are suppressed to contiguous 0..K
+    ids = np.unique(s["inst_masks"])
+    assert np.array_equal(ids, np.arange(len(ids)))
+    assert set(np.unique(s["overlap_masks"])) <= {0, 1}
+    assert s["annos"].shape[1] == 5
+
+    batch = collate([train[i] for i in range(4)])
+    n_max = max(max(train[i]["annos"].shape[0] for i in range(4)), 1)
+    assert batch["annos"].shape == (4, n_max, 5)
+    assert batch["img"].shape == (4, 32, 32, 3)
+    # val_only returns the bare val set
+    val_set = build_dataset(params, val_only=True)
+    assert len(val_set) == 4

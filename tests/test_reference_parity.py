@@ -2197,3 +2197,45 @@ def test_postproc_mask_matches_reference():
     ref_out = ref_eval.postproc_mask(torch.tensor(m)).numpy()
     ours = np.asarray(postproc_mask(m))
     assert np.array_equal(ours, ref_out)
+
+
+def test_coco_dual_eval_harness_matches_reference_test_seg():
+    """The COMPOSED img test_seg protocol (img_based/test_seg.py:19-89),
+    not just the metric functions: argmax pred soft masks over the slot
+    dim, then every metric computed TWICE — against instance masks
+    (`inst/*`) and semantic masks (`sem/*`) — with COCO's overlap pixels
+    excluded per DINOSAUR (eval_utils.py:119-135). `seg_metrics_fn` is the
+    single driven entry point (Trainer eval + scripts/test_seg.py), so it
+    must reproduce the reference composition on a COCO-shaped batch."""
+    ref_ieval = ref_img_import("eval_utils")
+    from slotdiffusion_tpu.data.coco import coco_collate_fn
+    from slotdiffusion_tpu.data.synthetic import SyntheticCOCODataset
+    from slotdiffusion_tpu.methods.build import seg_metrics_fn
+
+    ds = SyntheticCOCODataset(resolution=(32, 32), num_samples=4, seed=3)
+    batch = coco_collate_fn([ds[i] for i in range(4)])
+    rng = np.random.RandomState(7)
+    pred = rng.rand(4, 6, 32, 32).astype(np.float32)  # soft slot masks
+
+    ours = seg_metrics_fn(batch, {"masks": pred})
+
+    # reference composition (img_based/test_seg.py:27-42,75-89): argmax,
+    # then {inst, sem} x metrics, inst_overlap_masks into every call
+    pred_id = torch.tensor(pred).argmax(dim=-3)
+    ov = torch.tensor(np.asarray(batch["overlap_masks"]))
+    ref = {}
+    for prefix, gt_key in (("inst", "inst_masks"), ("sem", "masks")):
+        gt_t = torch.tensor(np.asarray(batch[gt_key])).long()
+        for name in ("ARI", "fARI", "miou", "fmiou", "mbo"):
+            v = getattr(ref_ieval, f"{name}_metric")(
+                gt_t, pred_id, inst_overlap_mask=ov)
+            ref[f"{prefix}/{name.lower()}"] = float(v)
+    assert set(ours) == set(ref)
+    for k in sorted(ref):
+        np.testing.assert_allclose(float(ours[k]), ref[k], rtol=1e-6,
+                                   atol=1e-8, err_msg=k)
+
+    # without inst_masks the fn falls back to single-protocol keys
+    plain = seg_metrics_fn(
+        {"masks": np.asarray(batch["inst_masks"])}, {"masks": pred})
+    assert set(plain) == {"ari", "fari", "miou", "fmiou", "mbo"}
