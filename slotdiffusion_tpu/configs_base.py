@@ -54,6 +54,11 @@ def ldm_unet_dict(slot_size, latent_ch=3):
         channel_mult=(1, 2, 3, 4),
         num_head_channels=32,
         context_dim=slot_size,
+        # reference-mirroring configs pin the numerically-stable softmax
+        # (torch F.softmax semantics); the synthetic/bench configs keep the
+        # measured-faster "fast" variant (bit-exact for normalized inputs,
+        # unet.py:_fast_softmax; delta documented in docs/parity.md)
+        attn_softmax="stable",
     )
 
 

@@ -1,25 +1,33 @@
-"""DPM-Solver++ fast ODE sampling for discrete-time VP diffusion.
+"""DPM-Solver / DPM-Solver++ fast ODE sampling for discrete-time VP diffusion.
 
 Re-derivation of the solver used by the reference
 (video_based/models/ddpm/dpm_solver.py: NoiseScheduleVP :66, model_wrapper
 :238, DPM_Solver :419) restructured for XLA: the reference is a 1.3k-LoC
 stateful torch class; here the sampling timestep grid, the per-step
 alphas/sigmas/log-SNRs and all Runge-Kutta coefficients are *static numpy*
-computed at trace time, so the compiled program is just `steps` UNet calls
-plus fused linear combinations — no device-side control flow at all.
+computed at trace time, so the compiled program is just `steps` model calls
+plus fused linear combinations — no device-side control flow at all. The one
+exception is the data-dependent `adaptive` method (dpm_solver.py:1048-1103),
+which compiles to a single `lax.while_loop` with the schedule interpolations
+(`jnp.interp`) traced on device instead of host-unrolled.
 
-Supported surface (what the reference actually uses, cond_ddpm.py:154-193):
-- algorithm dpmsolver++ (data prediction), singlestep orders 1-3 and
-  multistep order 2, `time_uniform` outer / `logSNR` inner step spacing
+Full public surface of the reference class:
+- algorithm_type "dpmsolver++" (data prediction) AND "dpmsolver" (noise
+  prediction, dpm_solver.py:661-684,739-762,845-885,925-945,986-997)
+- methods: singlestep (orders 1-3), singlestep_fixed, multistep (orders 1-3
+  with lower-order warmup + `lower_order_final`, dpm_solver.py:1267-1311),
+  adaptive (orders 2-3)
+- solver_type "dpmsolver" and "taylor" for every order-2/3 update
 - model types 'eps' ('noise'), 'x0' ('x_start'), 'v'
-- `correcting_x0_fn`: dynamic clipping in pixel space or VQ quantize-denoise
-  in latent space (`vq_denoised`)
-- classifier-free guidance scaffold with guidance_scale == 1 (the only value
+- `correcting_x0_fn` (dynamic clipping / VQ quantize-as-denoise) and
+  `correcting_xt_fn`; `denoise_to_zero`; `return_intermediate`
+- classifier-free guidance scaffold (guidance_scale == 1 is the only value
   the reference ever passes — condition-only forward)
 """
 
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,10 +58,48 @@ class VPSchedule:
         return la - 0.5 * np.log(1.0 - np.exp(2.0 * la))
 
     def inverse_lambda(self, lam):
-        lam_array = (self.log_alpha_array -
-                     0.5 * np.log(1.0 - np.exp(2.0 * self.log_alpha_array)))
-        # lambda decreases with t; reverse for np.interp
-        return np.interp(lam, lam_array[::-1], self.t_array[::-1])
+        # the reference maps lambda -> log_alpha analytically and then
+        # piecewise-linearly interpolates t over the log_alpha knots
+        # (dpm_solver.py:219-236) — NOT over lambda; interpolating in a
+        # different coordinate shifts values between knots by ~1e-6,
+        # enough to bend the adaptive solver's trajectory.
+        log_alpha = -0.5 * np.logaddexp(0.0, -2.0 * np.asarray(lam))
+        # log_alpha decreases with t; reverse for np.interp
+        return np.interp(log_alpha, self.log_alpha_array[::-1],
+                         self.t_array[::-1])
+
+
+class TracedVPSchedule:
+    """jnp twin of VPSchedule for data-dependent stepping (the adaptive
+    method): identical interpolation tables, evaluated on-device with
+    `jnp.interp` so times may be traced scalars inside `lax.while_loop`."""
+
+    def __init__(self, ns: VPSchedule):
+        self.N = ns.N
+        self.T = ns.T
+        self.t_array = jnp.asarray(ns.t_array)
+        self.log_alpha_array = jnp.asarray(ns.log_alpha_array)
+        self._log_alpha_rev = jnp.asarray(ns.log_alpha_array[::-1].copy())
+        self._t_rev = jnp.asarray(ns.t_array[::-1].copy())
+
+    def log_alpha(self, t):
+        return jnp.interp(t, self.t_array, self.log_alpha_array)
+
+    def alpha(self, t):
+        return jnp.exp(self.log_alpha(t))
+
+    def sigma(self, t):
+        return jnp.sqrt(1.0 - jnp.exp(2.0 * self.log_alpha(t)))
+
+    def lam(self, t):
+        la = self.log_alpha(t)
+        return la - 0.5 * jnp.log(1.0 - jnp.exp(2.0 * la))
+
+    def inverse_lambda(self, lam):
+        # lambda -> log_alpha analytically, then interp t over log_alpha
+        # knots (dpm_solver.py:219-236; see VPSchedule.inverse_lambda)
+        log_alpha = -0.5 * jnp.logaddexp(0.0, -2.0 * lam)
+        return jnp.interp(log_alpha, self._log_alpha_rev, self._t_rev)
 
 
 def _time_steps(ns: VPSchedule, skip_type, t_T, t_0, N):
@@ -103,36 +149,71 @@ def dpm_solver_sample(
     method: str = "singlestep",
     skip_type: str = "time_uniform",
     model_type: str = "eps",
+    algorithm_type: str = "dpmsolver++",
+    solver_type: str = "dpmsolver",
     correcting_x0_fn: Optional[Callable] = None,
+    correcting_xt_fn: Optional[Callable] = None,
     guidance_scale: float = 1.0,
     uncond_model_fn: Optional[Callable] = None,
     t_start: Optional[float] = None,
     t_end: Optional[float] = None,
+    lower_order_final: bool = True,
+    denoise_to_zero: bool = False,
+    return_intermediate: bool = False,
+    atol: float = 0.0078,
+    rtol: float = 0.05,
+    h_init: float = 0.05,
+    theta: float = 0.9,
+    t_err: float = 1e-5,
 ):
-    """Sample x_0 from x_T with DPM-Solver++ (data prediction).
+    """Sample x_0 from x_T with DPM-Solver(++) (reference sample(),
+    dpm_solver.py:1139-1359).
 
     Args:
         model_fn: (x, t_continuous_scalar) -> model output (eps/x0/v per
-            `model_type`). Called with a static python float t; the caller
-            maps continuous to discrete time (t * N - 1, matching
-            model_wrapper's discrete-time convention, dpm_solver.py:300-320).
+            `model_type`). For the static methods t is a python float; for
+            `method="adaptive"` it is a traced jnp scalar — the caller maps
+            continuous to model time with jnp arithmetic either way
+            (model_wrapper's discrete-time convention, dpm_solver.py:300-346).
         betas: [N] float64 discrete beta schedule.
-        correcting_x0_fn: applied to each predicted x0 (clip / vq-quantize).
+        algorithm_type: "dpmsolver++" (data prediction) or "dpmsolver"
+            (noise prediction, dpm_solver.py:492-543).
+        solver_type: "dpmsolver" or "taylor" Taylor-expansion variant for
+            the order-2/3 updates.
+        correcting_x0_fn: applied to each predicted x0 (clip / vq-quantize);
+            only active under dpmsolver++ (data_prediction_fn,
+            dpm_solver.py:523-534).
+        correcting_xt_fn: applied to x after every update, signature
+            (x, t, step) (dpm_solver.py:471-489); not valid with adaptive.
         guidance_scale / uncond_model_fn: classifier-free guidance; with
             scale == 1 only the conditional branch runs.
+        lower_order_final: multistep only — final steps drop to lower order
+            when steps < 10 (sample(), dpm_solver.py:1294-1297).
+        denoise_to_zero: final data-prediction denoise at t_0
+            (denoise_to_zero_fn, dpm_solver.py:633-637).
+        return_intermediate: also return the list of x after each step.
     """
+    assert algorithm_type in ("dpmsolver", "dpmsolver++"), algorithm_type
+    assert solver_type in ("dpmsolver", "taylor"), solver_type
     ns = VPSchedule(betas)
     t_0 = 1.0 / ns.N if t_end is None else t_end
     t_T = ns.T if t_start is None else t_start
+    if return_intermediate or correcting_xt_fn is not None:
+        assert method in ("singlestep", "singlestep_fixed", "multistep"), \
+            f"cannot use {method} with return_intermediate/correcting_xt_fn"
 
-    def x0_fn(x, t):
-        """Data-prediction model with correction."""
+    def raw_fn(x, t):
         out = model_fn(x, t)
         if guidance_scale != 1.0:
             assert uncond_model_fn is not None
             u = uncond_model_fn(x, t)
             out = u + guidance_scale * (out - u)
-        a, s = ns.alpha(t), ns.sigma(t)
+        return out
+
+    def x0_fn(x, t, sched=ns):
+        """Data-prediction model with correction (dpm_solver.py:523-534)."""
+        out = raw_fn(x, t)
+        a, s = sched.alpha(t), sched.sigma(t)
         if model_type in ("eps", "noise"):
             x0 = (x - s * out) / a
         elif model_type == "v":
@@ -145,58 +226,221 @@ def dpm_solver_sample(
             x0 = correcting_x0_fn(x0)
         return x0
 
-    def update_1(x, m_s, s, t):
-        """DPM-Solver++(1) == DDIM (dpm_solver.py:738-772)."""
-        h = ns.lam(t) - ns.lam(s)
-        phi_1 = np.expm1(-h)
-        return (ns.sigma(t) / ns.sigma(s)) * x - (ns.alpha(t) * phi_1) * m_s
+    def eps_fn(x, t, sched=ns):
+        """Noise-prediction model (model_wrapper noise_pred_fn,
+        dpm_solver.py:350-369)."""
+        out = raw_fn(x, t)
+        if model_type in ("eps", "noise"):
+            return out
+        a, s = sched.alpha(t), sched.sigma(t)
+        if model_type in ("x0", "x_start"):
+            return (x - a * out) / s
+        if model_type == "v":
+            return a * out + s * x
+        raise ValueError(model_type)
 
-    def update_2(x, m_s, s, t, r1=0.5):
-        """Singlestep second order (dpm_solver.py:775-843)."""
-        lam_s, lam_t = ns.lam(s), ns.lam(t)
-        h = lam_t - lam_s
-        s1 = ns.inverse_lambda(lam_s + r1 * h)
-        phi_11 = np.expm1(-r1 * h)
-        phi_1 = np.expm1(-h)
-        x_s1 = (ns.sigma(s1) / ns.sigma(s)) * x - \
-            (ns.alpha(s1) * phi_11) * m_s
-        m_s1 = x0_fn(x_s1, s1)
-        x_t = (ns.sigma(t) / ns.sigma(s)) * x - (ns.alpha(t) * phi_1) * m_s \
-            - (0.5 / r1) * (ns.alpha(t) * phi_1) * (m_s1 - m_s)
-        return x_t
+    dpmpp = algorithm_type == "dpmsolver++"
+    m_fn = x0_fn if dpmpp else eps_fn
 
-    def update_3(x, m_s, s, t, r1=1.0 / 3.0, r2=2.0 / 3.0):
-        """Singlestep third order (dpm_solver.py:846-931)."""
-        lam_s, lam_t = ns.lam(s), ns.lam(t)
+    # ------------------------------------------------------------------
+    # update rules, generic over (np + float times) / (jnp + traced times):
+    # `xp` supplies expm1/exp, `sched` the schedule backend. With xp=np all
+    # coefficients are trace-time constants; with xp=jnp they are traced
+    # (adaptive only).
+    # ------------------------------------------------------------------
+
+    def update_1(x, m_s, s, t, sched=ns, xp=np):
+        """DPM-Solver-1; == DDIM under ++ (dpm_solver.py:639-684)."""
+        h = sched.lam(t) - sched.lam(s)
+        if dpmpp:
+            return (sched.sigma(t) / sched.sigma(s)) * x \
+                - (sched.alpha(t) * xp.expm1(-h)) * m_s
+        return xp.exp(sched.log_alpha(t) - sched.log_alpha(s)) * x \
+            - (sched.sigma(t) * xp.expm1(h)) * m_s
+
+    def update_2(x, m_s, s, t, r1=0.5, sched=ns, xp=np):
+        """Singlestep second order (dpm_solver.py:686-766). Returns
+        (x_t, m_s1) — the intermediate model value feeds adaptive's
+        higher-order re-use (return_intermediate, :713)."""
+        lam_s, lam_t = sched.lam(s), sched.lam(t)
         h = lam_t - lam_s
-        s1 = ns.inverse_lambda(lam_s + r1 * h)
-        s2 = ns.inverse_lambda(lam_s + r2 * h)
-        phi_11 = np.expm1(-r1 * h)
-        phi_12 = np.expm1(-r2 * h)
-        phi_1 = np.expm1(-h)
-        phi_22 = np.expm1(-r2 * h) / (r2 * h) + 1.0
-        phi_2 = phi_1 / h + 1.0
-        x_s1 = (ns.sigma(s1) / ns.sigma(s)) * x - \
-            (ns.alpha(s1) * phi_11) * m_s
-        m_s1 = x0_fn(x_s1, s1)
-        x_s2 = (ns.sigma(s2) / ns.sigma(s)) * x \
-            - (ns.alpha(s2) * phi_12) * m_s \
-            + (r2 / r1) * (ns.alpha(s2) * phi_22) * (m_s1 - m_s)
-        m_s2 = x0_fn(x_s2, s2)
-        x_t = (ns.sigma(t) / ns.sigma(s)) * x - (ns.alpha(t) * phi_1) * m_s \
-            + (1.0 / r2) * (ns.alpha(t) * phi_2) * (m_s2 - m_s)
-        return x_t
+        s1 = sched.inverse_lambda(lam_s + r1 * h)
+        if dpmpp:
+            x_s1 = (sched.sigma(s1) / sched.sigma(s)) * x \
+                - (sched.alpha(s1) * xp.expm1(-r1 * h)) * m_s
+            m_s1 = m_fn(x_s1, s1, sched)
+            phi_1 = xp.expm1(-h)
+            base = (sched.sigma(t) / sched.sigma(s)) * x \
+                - (sched.alpha(t) * phi_1) * m_s
+            if solver_type == "dpmsolver":
+                x_t = base - (0.5 / r1) * (sched.alpha(t) * phi_1) * \
+                    (m_s1 - m_s)
+            else:  # taylor
+                x_t = base + (1.0 / r1) * \
+                    (sched.alpha(t) * (phi_1 / h + 1.0)) * (m_s1 - m_s)
+            return x_t, m_s1
+        # dpmsolver (noise prediction, dpm_solver.py:739-766)
+        la_s, la_s1, la_t = (sched.log_alpha(s), sched.log_alpha(s1),
+                             sched.log_alpha(t))
+        x_s1 = xp.exp(la_s1 - la_s) * x \
+            - (sched.sigma(s1) * xp.expm1(r1 * h)) * m_s
+        m_s1 = m_fn(x_s1, s1, sched)
+        phi_1 = xp.expm1(h)
+        base = xp.exp(la_t - la_s) * x - (sched.sigma(t) * phi_1) * m_s
+        if solver_type == "dpmsolver":
+            x_t = base - (0.5 / r1) * (sched.sigma(t) * phi_1) * (m_s1 - m_s)
+        else:  # taylor
+            x_t = base - (1.0 / r1) * \
+                (sched.sigma(t) * (phi_1 / h - 1.0)) * (m_s1 - m_s)
+        return x_t, m_s1
+
+    def update_3(x, m_s, s, t, r1=1.0 / 3.0, r2=2.0 / 3.0, m_s1=None,
+                 sched=ns, xp=np):
+        """Singlestep third order (dpm_solver.py:767-886); `m_s1` may be
+        passed in (adaptive re-uses the lower update's intermediate)."""
+        lam_s, lam_t = sched.lam(s), sched.lam(t)
+        h = lam_t - lam_s
+        s1 = sched.inverse_lambda(lam_s + r1 * h)
+        s2 = sched.inverse_lambda(lam_s + r2 * h)
+        if dpmpp:
+            phi_11 = xp.expm1(-r1 * h)
+            phi_12 = xp.expm1(-r2 * h)
+            phi_1 = xp.expm1(-h)
+            phi_22 = xp.expm1(-r2 * h) / (r2 * h) + 1.0
+            phi_2 = phi_1 / h + 1.0
+            phi_3 = phi_2 / h - 0.5
+            if m_s1 is None:
+                x_s1 = (sched.sigma(s1) / sched.sigma(s)) * x \
+                    - (sched.alpha(s1) * phi_11) * m_s
+                m_s1 = m_fn(x_s1, s1, sched)
+            x_s2 = (sched.sigma(s2) / sched.sigma(s)) * x \
+                - (sched.alpha(s2) * phi_12) * m_s \
+                + (r2 / r1) * (sched.alpha(s2) * phi_22) * (m_s1 - m_s)
+            m_s2 = m_fn(x_s2, s2, sched)
+            base = (sched.sigma(t) / sched.sigma(s)) * x \
+                - (sched.alpha(t) * phi_1) * m_s
+            if solver_type == "dpmsolver":
+                return base + (1.0 / r2) * (sched.alpha(t) * phi_2) * \
+                    (m_s2 - m_s)
+            d1_0 = (1.0 / r1) * (m_s1 - m_s)
+            d1_1 = (1.0 / r2) * (m_s2 - m_s)
+            d1 = (r2 * d1_0 - r1 * d1_1) / (r2 - r1)
+            d2 = 2.0 * (d1_1 - d1_0) / (r2 - r1)
+            return base + (sched.alpha(t) * phi_2) * d1 \
+                - (sched.alpha(t) * phi_3) * d2
+        # dpmsolver (noise prediction, dpm_solver.py:845-885)
+        la_s, la_s1, la_s2, la_t = (sched.log_alpha(s), sched.log_alpha(s1),
+                                    sched.log_alpha(s2), sched.log_alpha(t))
+        phi_11 = xp.expm1(r1 * h)
+        phi_12 = xp.expm1(r2 * h)
+        phi_1 = xp.expm1(h)
+        phi_22 = xp.expm1(r2 * h) / (r2 * h) - 1.0
+        phi_2 = phi_1 / h - 1.0
+        phi_3 = phi_2 / h - 0.5
+        if m_s1 is None:
+            x_s1 = xp.exp(la_s1 - la_s) * x \
+                - (sched.sigma(s1) * phi_11) * m_s
+            m_s1 = m_fn(x_s1, s1, sched)
+        x_s2 = xp.exp(la_s2 - la_s) * x \
+            - (sched.sigma(s2) * phi_12) * m_s \
+            - (r2 / r1) * (sched.sigma(s2) * phi_22) * (m_s1 - m_s)
+        m_s2 = m_fn(x_s2, s2, sched)
+        base = xp.exp(la_t - la_s) * x - (sched.sigma(t) * phi_1) * m_s
+        if solver_type == "dpmsolver":
+            return base - (1.0 / r2) * (sched.sigma(t) * phi_2) * \
+                (m_s2 - m_s)
+        d1_0 = (1.0 / r1) * (m_s1 - m_s)
+        d1_1 = (1.0 / r2) * (m_s2 - m_s)
+        d1 = (r2 * d1_0 - r1 * d1_1) / (r2 - r1)
+        d2 = 2.0 * (d1_1 - d1_0) / (r2 - r1)
+        return base - (sched.sigma(t) * phi_2) * d1 \
+            - (sched.sigma(t) * phi_3) * d2
+
+    def multistep_2(x, m_prev, t_prev, t):
+        """Multistep second order (dpm_solver.py:888-945)."""
+        m1, m0 = m_prev[-2], m_prev[-1]
+        t1, t0 = t_prev[-2], t_prev[-1]
+        lam1, lam0, lam_t = ns.lam(t1), ns.lam(t0), ns.lam(t)
+        h0, h = lam0 - lam1, lam_t - lam0
+        r0 = h0 / h
+        d1_0 = (1.0 / r0) * (m0 - m1)
+        if dpmpp:
+            phi_1 = np.expm1(-h)
+            base = (ns.sigma(t) / ns.sigma(t0)) * x \
+                - (ns.alpha(t) * phi_1) * m0
+            if solver_type == "dpmsolver":
+                return base - 0.5 * (ns.alpha(t) * phi_1) * d1_0
+            return base + (ns.alpha(t) * (phi_1 / h + 1.0)) * d1_0
+        phi_1 = np.expm1(h)
+        base = np.exp(ns.log_alpha(t) - ns.log_alpha(t0)) * x \
+            - (ns.sigma(t) * phi_1) * m0
+        if solver_type == "dpmsolver":
+            return base - 0.5 * (ns.sigma(t) * phi_1) * d1_0
+        return base - (ns.sigma(t) * (phi_1 / h - 1.0)) * d1_0
+
+    def multistep_3(x, m_prev, t_prev, t):
+        """Multistep third order (dpm_solver.py:946-997)."""
+        m2, m1, m0 = m_prev[-3], m_prev[-2], m_prev[-1]
+        t2, t1, t0 = t_prev[-3], t_prev[-2], t_prev[-1]
+        lam2, lam1, lam0, lam_t = ns.lam(t2), ns.lam(t1), ns.lam(t0), \
+            ns.lam(t)
+        h1, h0, h = lam1 - lam2, lam0 - lam1, lam_t - lam0
+        r0, r1 = h0 / h, h1 / h
+        d1_0 = (1.0 / r0) * (m0 - m1)
+        d1_1 = (1.0 / r1) * (m1 - m2)
+        d1 = d1_0 + (r0 / (r0 + r1)) * (d1_0 - d1_1)
+        d2 = (1.0 / (r0 + r1)) * (d1_0 - d1_1)
+        if dpmpp:
+            phi_1 = np.expm1(-h)
+            phi_2 = phi_1 / h + 1.0
+            phi_3 = phi_2 / h - 0.5
+            return (ns.sigma(t) / ns.sigma(t0)) * x \
+                - (ns.alpha(t) * phi_1) * m0 \
+                + (ns.alpha(t) * phi_2) * d1 \
+                - (ns.alpha(t) * phi_3) * d2
+        phi_1 = np.expm1(h)
+        phi_2 = phi_1 / h - 1.0
+        phi_3 = phi_2 / h - 0.5
+        return np.exp(ns.log_alpha(t) - ns.log_alpha(t0)) * x \
+            - (ns.sigma(t) * phi_1) * m0 \
+            - (ns.sigma(t) * phi_2) * d1 \
+            - (ns.sigma(t) * phi_3) * d2
+
+    def multistep_update(x, m_prev, t_prev, t, step_order):
+        """Dispatch (multistep_dpm_solver_update, dpm_solver.py:1024-1046):
+        order 1 re-uses the stored model value at t_prev[-1]."""
+        if step_order == 1:
+            return update_1(x, m_prev[-1], t_prev[-1], t)
+        if step_order == 2:
+            return multistep_2(x, m_prev, t_prev, t)
+        if step_order == 3:
+            return multistep_3(x, m_prev, t_prev, t)
+        raise ValueError(step_order)
 
     x = x_T
-    if method == "singlestep":
-        orders = _singlestep_orders(steps, order)
-        K = len(orders)
-        if skip_type == "logSNR":
+    intermediates = []
+
+    def _post(x, t, step):
+        if correcting_xt_fn is not None:
+            x = correcting_xt_fn(x, t, step)
+        if return_intermediate:
+            intermediates.append(x)
+        return x
+
+    if method in ("singlestep", "singlestep_fixed"):
+        if method == "singlestep":
+            orders = _singlestep_orders(steps, order)
+            K = len(orders)
+            if skip_type == "logSNR":
+                t_outer = _time_steps(ns, skip_type, t_T, t_0, K)
+            else:
+                full = _time_steps(ns, skip_type, t_T, t_0, steps)
+                idx = np.cumsum([0] + orders)
+                t_outer = full[idx]
+        else:  # singlestep_fixed (sample(), dpm_solver.py:1315-1318)
+            K = steps // order
+            orders = [order] * K
             t_outer = _time_steps(ns, skip_type, t_T, t_0, K)
-        else:
-            full = _time_steps(ns, skip_type, t_T, t_0, steps)
-            idx = np.cumsum([0] + orders)
-            t_outer = full[idx]
         for i, ord_i in enumerate(orders):
             s, t = float(t_outer[i]), float(t_outer[i + 1])
             # r1/r2 come from the lambdas of skip_type-spaced INNER steps
@@ -206,40 +450,118 @@ def dpm_solver_sample(
             lam_s, lam_t = ns.lam(s), ns.lam(t)
             h = lam_t - lam_s
             inner = _time_steps(ns, skip_type, s, t, ord_i)
-            m_s = x0_fn(x, s)
+            m_s = m_fn(x, s)
             if ord_i == 1:
                 x = update_1(x, m_s, s, t)
             elif ord_i == 2:
                 r1 = float((ns.lam(inner[1]) - lam_s) / h)
-                x = update_2(x, m_s, s, t, r1=r1)
+                x, _ = update_2(x, m_s, s, t, r1=r1)
             else:
                 r1 = float((ns.lam(inner[1]) - lam_s) / h)
                 r2 = float((ns.lam(inner[2]) - lam_s) / h)
                 x = update_3(x, m_s, s, t, r1=r1, r2=r2)
+            x = _post(x, t, i)
     elif method == "multistep":
-        # multistep order<=2: AB-style using previous model output
-        # (dpm_solver.py:934-1004). lower_order_final drops the last step
-        # to first order ONLY when steps < 10 (sample(), dpm_solver.py:1294)
+        # reference sample() multistep loop (dpm_solver.py:1267-1311):
+        # warm up orders 1..order-1, then `order`-th updates; with
+        # lower_order_final and steps < 10 the tail steps drop to
+        # min(order, steps + 1 - step); the model value at the final time
+        # is never evaluated.
+        assert steps >= order
         t_grid = _time_steps(ns, skip_type, t_T, t_0, steps)
-        m_prev, t_prev = None, None
-        for i in range(steps):
-            s, t = float(t_grid[i]), float(t_grid[i + 1])
-            m_s = x0_fn(x, s)
-            use_first = (m_prev is None) or (order == 1) or \
-                (i == steps - 1 and steps < 10)
-            if use_first:
-                x = update_1(x, m_s, s, t)
+        t_prev = [float(t_grid[0])]
+        m_prev = [m_fn(x, t_prev[0])]
+        x = _post(x, t_prev[0], 0)
+        for step in range(1, order):
+            t = float(t_grid[step])
+            x = multistep_update(x, m_prev, t_prev, t, step)
+            x = _post(x, t, step)
+            t_prev.append(t)
+            m_prev.append(m_fn(x, t))
+        for step in range(order, steps + 1):
+            t = float(t_grid[step])
+            if lower_order_final and steps < 10:
+                step_order = min(order, steps + 1 - step)
             else:
-                lam_p, lam_s, lam_t = ns.lam(t_prev), ns.lam(s), ns.lam(t)
-                h0 = lam_s - lam_p
-                h = lam_t - lam_s
-                r0 = h0 / h
-                d1 = (m_s - m_prev) / r0
-                phi_1 = np.expm1(-h)
-                x = (ns.sigma(t) / ns.sigma(s)) * x \
-                    - (ns.alpha(t) * phi_1) * m_s \
-                    - 0.5 * (ns.alpha(t) * phi_1) * d1
-            m_prev, t_prev = m_s, s
+                step_order = order
+            x = multistep_update(x, m_prev, t_prev, t, step_order)
+            x = _post(x, t, step)
+            t_prev = t_prev[1:] + [t]
+            if step < steps:
+                m_prev = m_prev[1:] + [m_fn(x, t)]
+    elif method == "adaptive":
+        # dpm_solver_adaptive (dpm_solver.py:1048-1103), compiled as ONE
+        # lax.while_loop: step-size control, accept/reject and schedule
+        # interpolations all run on device with traced times.
+        assert order in (2, 3), order
+        tsched = TracedVPSchedule(ns)
+
+        if order == 2:
+            r1 = 0.5
+
+            def lower(x, s, t):
+                m_s = m_fn(x, s, tsched)
+                return update_1(x, m_s, s, t, sched=tsched, xp=jnp), (m_s,)
+
+            def higher(x, s, t, aux):
+                (m_s,) = aux
+                x_t, _ = update_2(x, m_s, s, t, r1=r1, sched=tsched, xp=jnp)
+                return x_t
+        else:
+            r1, r2 = 1.0 / 3.0, 2.0 / 3.0
+
+            def lower(x, s, t):
+                m_s = m_fn(x, s, tsched)
+                x_t, m_s1 = update_2(x, m_s, s, t, r1=r1, sched=tsched,
+                                     xp=jnp)
+                return x_t, (m_s, m_s1)
+
+            def higher(x, s, t, aux):
+                m_s, m_s1 = aux
+                return update_3(x, m_s, s, t, r1=r1, r2=r2, m_s1=m_s1,
+                                sched=tsched, xp=jnp)
+
+        lam_0 = tsched.lam(jnp.float64(t_0) if x.dtype == jnp.float64
+                           else jnp.float32(t_0))
+        s0 = jnp.asarray(t_T, lam_0.dtype)
+
+        def cond(carry):
+            x, x_prev, s, lam_s, h = carry
+            return jnp.abs(s - t_0) > t_err
+
+        def body(carry):
+            x, x_prev, s, lam_s, h = carry
+            t = tsched.inverse_lambda(lam_s + h)
+            x_lower, aux = lower(x, s, t)
+            x_higher = higher(x, s, t, aux)
+            delta = jnp.maximum(
+                atol, rtol * jnp.maximum(jnp.abs(x_lower), jnp.abs(x_prev)))
+            B = x.shape[0]
+            err = ((x_higher - x_lower) / delta).reshape(B, -1)
+            E = jnp.sqrt(jnp.square(err).mean(axis=-1)).max()
+            accept = E <= 1.0
+            x_new = jnp.where(accept, x_higher, x)
+            x_prev_new = jnp.where(accept, x_lower, x_prev)
+            s_new = jnp.where(accept, t, s)
+            lam_new = jnp.where(accept, tsched.lam(t), lam_s)
+            # the reference rounds the error-power through f32
+            # (torch.float_power(E, -1/order).float(), dpm_solver.py:1100)
+            ep = (E ** (-1.0 / order)).astype(jnp.float32).astype(h.dtype)
+            h_new = jnp.minimum(theta * h * ep, lam_0 - lam_new)
+            return (x_new, x_prev_new, s_new, lam_new, h_new)
+
+        carry = (x, x, s0, tsched.lam(s0), jnp.asarray(h_init, lam_0.dtype))
+        x = jax.lax.while_loop(cond, body, carry)[0]
     else:
         raise ValueError(method)
+
+    if denoise_to_zero:
+        # denoise_to_zero_fn (dpm_solver.py:633-637): one final
+        # data-prediction step at t_0 regardless of algorithm type
+        x = x0_fn(x, t_0)
+        if method != "adaptive":
+            x = _post(x, t_0, len(intermediates))
+
+    if return_intermediate:
+        return x, intermediates
     return x
