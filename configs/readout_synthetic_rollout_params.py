@@ -38,6 +38,10 @@ class SlotAttentionParams(BaseParams):
     data_root = ""
     rollout_root = ("checkpoint/ldmslotformer_synthetic_long3-res64/"
                     "rollout_slots.pkl")
+    # MUST equal the max_objects the source synthetic videos were rendered
+    # with (the chained savi_ldm config): the VQA label is re-derived from
+    # the renderer's RNG at that setting. builders.py validates this
+    # against the rollout pkl's _meta at load time.
     max_objects = 4
     train_batch_size = 32
     val_batch_size = 32

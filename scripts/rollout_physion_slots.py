@@ -81,6 +81,15 @@ def main():
             if i % 10 == 0:
                 print(f"[{split} {i}/{len(loader)}]")
         all_out[split] = split_out
+    # provenance metadata: the rollout-label RNG (synthetic_rollout_slots)
+    # must re-run the renderer with the SAME max_objects/seed the source
+    # videos used; builders.py validates this at load time so a chained
+    # config mismatch fails loudly instead of corrupting supervision
+    all_out["_meta"] = dict(
+        max_objects=int(params.get("max_objects", -1)),
+        seed=int(params.get("seed", 0)),
+        params=os.path.basename(args.params),
+    )
     dump_obj(all_out, args.save_path)
     print(f"saved rollout slots to {args.save_path}")
 

@@ -85,6 +85,15 @@ def build_dataset(params, val_only=False):
         from ..utils.misc import load_obj
         from .synthetic_slots import SyntheticRolloutSlotsDataset
         all_slots = load_obj(params.rollout_root)
+        meta = all_slots.pop("_meta", None)
+        if meta is not None and meta.get("max_objects", -1) != -1 and \
+                meta["max_objects"] != params.get("max_objects", 4):
+            raise ValueError(
+                f"rollout pkl {params.rollout_root!r} was produced from "
+                f"videos rendered with max_objects={meta['max_objects']} "
+                f"(config {meta.get('params')}), but this config sets "
+                f"max_objects={params.get('max_objects', 4)} — the VQA "
+                "label RNG would silently diverge from the rendered scenes")
         kw = dict(max_objects=params.get("max_objects", 4))
         # extraction/render seeds: train 0, val/test 1 (see above)
         test_split = all_slots.get("test", all_slots.get("val"))

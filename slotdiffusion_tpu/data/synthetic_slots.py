@@ -120,7 +120,13 @@ class SyntheticVideoSlotsDataset(Dataset):
     def __getitem__(self, idx):
         name = self.names[idx]
         slots = np.asarray(self.video_slots[name], np.float32)
-        out = {"slots": slots, "data_idx": np.int32(idx)}
+        # data_idx carries the SOURCE render index (int(name)), not the
+        # positional index: downstream pkl writers key entries by data_idx
+        # (rollout_physion_slots.py:77-80), and the rollout-label derivation
+        # re-runs the renderer RNG at that index (SyntheticRolloutSlots-
+        # Dataset._n_objects) — a positional index would silently misalign
+        # labels the moment an extraction pkl is subset/filtered.
+        out = {"slots": slots, "data_idx": np.int32(int(name))}
         if self.load_img:
             out["img"] = self._video[int(name)]["img"]
         return out

@@ -318,3 +318,84 @@ def test_synthetic_coco_builder_and_collate():
     # val_only returns the bare val set
     val_set = build_dataset(params, val_only=True)
     assert len(val_set) == 4
+
+
+@pytest.mark.fast
+def test_synthetic_rollout_slots_labels_match_renderer(tmp_path):
+    """Cross-file invariant (ADVICE r3): SyntheticRolloutSlotsDataset's
+    VQA labels re-derive the renderer's object count from the same
+    (seed, render_idx) RNG stream synthetic.py uses — verified against
+    the ACTUAL rendered masks (mask.max() == n_objects since the last
+    painted object always overwrites with id n_obj), for both split
+    seeds; plus builder seed wiring, _meta validation, and the
+    missing-split error."""
+    from slotdiffusion_tpu.data import build_dataset
+    from slotdiffusion_tpu.data.synthetic import SyntheticVideoDataset
+    from slotdiffusion_tpu.utils import BaseParams
+    from slotdiffusion_tpu.utils.misc import dump_obj
+
+    max_objects = 4
+    pkl = {
+        "train": {str(i): np.zeros((6, 3, 8), np.float32)
+                  for i in range(6)},
+        "val": {str(i): np.zeros((6, 3, 8), np.float32)
+                for i in range(4)},
+        "test": {str(i): np.zeros((6, 3, 8), np.float32)
+                 for i in range(4)},
+        "_meta": dict(max_objects=max_objects, seed=0, params="x.py"),
+    }
+    path = str(tmp_path / "rollout.pkl")
+    dump_obj(pkl, path)
+
+    params = BaseParams()
+    params.dataset = "synthetic_rollout_slots"
+    params.rollout_root = path
+    params.max_objects = max_objects
+
+    train, val = build_dataset(params)
+    assert (train.seed, val.seed) == (0, 1)  # render seeds train/val
+
+    min_obj = (max_objects + 2) // 2
+    for ds, seed, n in ((train, 0, 6), (val, 1, 4)):
+        vid = SyntheticVideoDataset(
+            resolution=(32, 32), num_samples=n, n_sample_frames=1,
+            max_objects=max_objects, load_mask=True, seed=seed)
+        for i in range(n):
+            n_obj = int(vid[i]["masks"].max())
+            s = ds[i]
+            assert int(s["task_idx"]) == n_obj - 1, (seed, i)
+            assert int(s["label"]) == int(n_obj >= min_obj), (seed, i)
+
+    # val_only -> test split
+    test_ds = build_dataset(params, val_only=True)
+    assert len(test_ds) == 4
+
+    # _meta mismatch fails loudly instead of corrupting labels
+    params_bad = BaseParams()
+    params_bad.dataset = "synthetic_rollout_slots"
+    params_bad.rollout_root = path
+    params_bad.max_objects = max_objects + 1
+    with pytest.raises(ValueError, match="max_objects"):
+        build_dataset(params_bad)
+
+    # a pkl with no usable split raises a descriptive error
+    dump_obj({"train": pkl["train"]}, str(tmp_path / "nosplit.pkl"))
+    params.rollout_root = str(tmp_path / "nosplit.pkl")
+    with pytest.raises(ValueError, match="neither"):
+        build_dataset(params)
+
+
+@pytest.mark.fast
+def test_synthetic_video_slots_data_idx_is_render_idx(tmp_path):
+    """SyntheticVideoSlotsDataset must emit data_idx == int(name) (the
+    source render index): rollout pkls are keyed by data_idx, and the
+    rollout-label RNG re-runs the renderer at that index — a positional
+    data_idx silently misaligns labels once the slots pkl is subset."""
+    from slotdiffusion_tpu.data.synthetic_slots import (
+        SyntheticVideoSlotsDataset)
+
+    # a filtered extraction: only odd render indices survive
+    slots = {str(i): np.zeros((4, 3, 8), np.float32) for i in (1, 3, 7)}
+    ds = SyntheticVideoSlotsDataset(slots, resolution=(32, 32), video_len=4)
+    got = [int(ds[i]["data_idx"]) for i in range(len(ds))]
+    assert got == [1, 3, 7]
