@@ -157,14 +157,16 @@ def main():
         from slotdiffusion_tpu.ops.fid import frechet_distance
         fid = frechet_distance(*fid_stats[0].finalize(),
                                *fid_stats[1].finalize())
-        print(f"native FID (composed vs real, {fid_stats[0].n} vs "
-              f"{fid_stats[1].n} frames): {fid:.3f}")
+        from slotdiffusion_tpu.ops.fid import weights_label
+        print(f"native {weights_label('FID')} (composed vs real, "
+              f"{fid_stats[0].n} vs {fid_stats[1].n} frames): {fid:.3f}")
     if fvd_stats is not None and fvd_stats[0].n:
         from slotdiffusion_tpu.ops.fid import frechet_distance
         fvd = frechet_distance(*fvd_stats[0].finalize(),
                                *fvd_stats[1].finalize())
-        print(f"native FVD (composed vs real, {fvd_stats[0].n} vs "
-              f"{fvd_stats[1].n} clips): {fvd:.3f}")
+        from slotdiffusion_tpu.ops.fvd import weights_label
+        print(f"native {weights_label('FVD')} (composed vs real, "
+              f"{fvd_stats[0].n} vs {fvd_stats[1].n} clips): {fvd:.3f}")
     print(f"DONE: {count} composed frames in {out_dir} "
           f"(run external FID/FVD on them)")
 

@@ -132,10 +132,14 @@ def main():
                 "ssim": M.ssim_metric(x, y),
             }
             from slotdiffusion_tpu.ops.lpips import (lpips_available,
-                                                     lpips_distance)
+                                                     lpips_distance,
+                                                     weights_label)
             if lpips_available():
                 import jax.numpy as jnp
-                results["lpips"] = float(np.mean(np.asarray(
+                # key carries weight provenance: 'lpips[src=<sha8>]' for
+                # converted real weights, 'lpips(untrained-weights)' for
+                # random/replica npz — never a bare headline
+                results[weights_label("lpips")] = float(np.mean(np.asarray(
                     lpips_distance(jnp.asarray(x * 2 - 1),
                                    jnp.asarray(y * 2 - 1)))))
             # cache raw features (not stats) so resumed runs rebuild
@@ -172,8 +176,12 @@ def main():
             for g, r in pairs:
                 gen.update(g)
                 real.update(r)
-            final[name] = frechet_distance(*gen.finalize(),
-                                           *real.finalize())
+            if name == "fid":
+                from slotdiffusion_tpu.ops.fid import weights_label
+            else:
+                from slotdiffusion_tpu.ops.fvd import weights_label
+            final[weights_label(name)] = frechet_distance(
+                *gen.finalize(), *real.finalize())
     print("FINAL " + " ".join(f"{k}={v:.4f}" for k, v in final.items()))
 
 

@@ -374,3 +374,32 @@ def test_apply_pretrained_overlays_dino_subtree(tmp_path, rng, monkeypatch):
     leaf_new = jax.tree_util.tree_leaves(node)[0]
     np.testing.assert_allclose(np.asarray(leaf_new),
                                np.asarray(leaf_old) + 0.03, rtol=1e-6)
+
+
+def test_weights_label_provenance(tmp_path, monkeypatch):
+    """Eval headlines must label weight provenance (VERDICT r3 weak 2):
+    random npz -> '(untrained-weights)', converter-produced npz with the
+    pinned real sha prefix -> '[src=...]', other sources -> UNVERIFIED."""
+    import numpy as np
+
+    path = _tiny_vgg_npz(str(tmp_path / "rand.npz"),
+                         np.random.RandomState(0))
+    monkeypatch.setenv(lpips_mod.WEIGHTS_ENV, path)
+    assert lpips_mod.weights_label("lpips") == "lpips(untrained-weights)"
+
+    real = str(tmp_path / "real.npz")
+    np.savez(real, __source_sha256__="397923af" + "0" * 56)
+    monkeypatch.setenv(lpips_mod.WEIGHTS_ENV, real)
+    assert lpips_mod.weights_label("lpips") == "lpips[src=397923af]"
+
+    other = str(tmp_path / "other.npz")
+    np.savez(other, __source_sha256__="deadbeef" + "0" * 56)
+    monkeypatch.setenv(lpips_mod.WEIGHTS_ENV, other)
+    assert lpips_mod.weights_label("lpips") == \
+        "lpips[UNVERIFIED src=deadbeef]"
+
+    from slotdiffusion_tpu.ops import fid as fid_mod
+    monkeypatch.setenv(fid_mod.WEIGHTS_ENV, other)
+    assert "UNVERIFIED" in fid_mod.weights_label("fid")
+    monkeypatch.delenv(fid_mod.WEIGHTS_ENV)
+    assert fid_mod.weights_label("fid") == "fid(untrained-weights)"
