@@ -8,7 +8,8 @@ Design:
 - `DataLoader`: multi-threaded prefetching batcher producing fixed-shape
   numpy batches (static shapes for XLA). Per-epoch shuffling is seeded and
   deterministic. With multi-host JAX, each process loads only its shard of
-  every global batch (`process_index`-strided), replacing DistributedSampler.
+  every global batch (contiguous per-process block, so the assembled global
+  array equals the single-host batch), replacing DistributedSampler.
 - Corrupted-sample retry: datasets may raise `SampleError`; the loader
   resamples a random other index, mirroring the `_rand_another` pattern
   (video_based/datasets/movi.py:54-60).
@@ -165,8 +166,15 @@ class DataLoader:
         for b in range(num_batches):
             batch = order[b * self.global_batch_size:(b + 1) *
                           self.global_batch_size]
-            # host shard: strided slice of the global batch
-            yield batch[self.process_index::self.process_count]
+            # host shard: contiguous block of the global batch. Blocks (not
+            # DistributedSampler-style strides) make the assembled global
+            # array (`jax.make_array_from_process_local_data`, row order =
+            # process order) IDENTICAL to the single-process batch, so a
+            # multi-host fit is loss-comparable step-for-step with a
+            # single-host fit of the same global batch
+            # (tests/test_distributed.py).
+            yield np.array_split(batch, self.process_count)[
+                self.process_index]
 
     def _fetch(self, idx):
         return _fetch_with_retry(self.dataset, idx, self.seed,

@@ -368,8 +368,13 @@ class Trainer:
             self._ckptr.wait_until_finished()
 
     def save_checkpoint(self, tag="last"):
-        if self.ckp_path is None or jax.process_index() != 0:
+        if self.ckp_path is None:
             return
+        # NO process gate: orbax coordinates multi-process saves itself
+        # (primary host writes, the rest participate in its sync
+        # barriers) — gating to process 0 deadlocks the commit barrier
+        # the moment other processes move on or exit
+        # (tests/test_distributed.py multihost fit).
         path = os.path.abspath(os.path.join(self.ckp_path, f"ckpt_{tag}"))
         ckptr = self._get_ckptr()
         # one save in flight at a time; also guards re-saving a path the
@@ -496,11 +501,41 @@ class Trainer:
             out_np = None
             if self.host_metrics_fn is not None:
                 out_np = jax.device_get(out)
-                losses.update(self.host_metrics_fn(np_batch, out_np))
+                if jax.process_count() > 1:
+                    # `out` is the GLOBAL batch output but np_batch is this
+                    # host's LOCAL block (loader block shards, process-order
+                    # assembly): slice out to the local rows, compute local
+                    # metrics, then average across hosts — same estimator
+                    # as a single process over the global batch
+                    gb = bs_i * jax.process_count()
+                    start = jax.process_index() * bs_i
+                    out_local = jax.tree_util.tree_map(
+                        lambda a: a[start:start + bs_i]
+                        if hasattr(a, "shape") and a.shape and
+                        a.shape[0] == gb else a, out_np)
+                    local = self.host_metrics_fn(np_batch, out_local)
+                    if local:
+                        from jax.experimental import multihost_utils
+                        keys = sorted(local)
+                        vec = np.asarray([float(local[k]) for k in keys],
+                                         np.float64)
+                        gathered = multihost_utils.process_allgather(vec)
+                        losses.update({k: float(v) for k, v in
+                                       zip(keys, gathered.mean(axis=0))})
+                    out_np = out_local
+                else:
+                    losses.update(self.host_metrics_fn(np_batch, out_np))
             if first_viz is None and self.viz_fn is not None:
-                first_viz = (np_batch,
-                             out_np if out_np is not None
-                             else jax.device_get(out))
+                if out_np is None:
+                    out_np = jax.device_get(out)
+                    if jax.process_count() > 1:  # local rows (see above)
+                        gb = bs_i * jax.process_count()
+                        start = jax.process_index() * bs_i
+                        out_np = jax.tree_util.tree_map(
+                            lambda a: a[start:start + bs_i]
+                            if hasattr(a, "shape") and a.shape and
+                            a.shape[0] == gb else a, out_np)
+                first_viz = (np_batch, out_np)
             bs = next(iter(np_batch.values())).shape[0]
             for k, v in losses.items():
                 meters.setdefault(k, AverageMeter()).update(v, bs)

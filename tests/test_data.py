@@ -71,7 +71,11 @@ def test_loader_host_sharding_partitions_batch():
             assert b["img"].shape[0] == 4  # local shard of the global batch
             shards[p].append(b["data_idx"].tolist())
     for i, gb in enumerate(full):
-        assert sorted(shards[0][i] + shards[1][i]) == sorted(gb)
+        # contiguous blocks in process order: the concatenation must equal
+        # the single-host global batch EXACTLY (not just as a set) — this
+        # is what makes a multi-host fit loss-identical to a single-host
+        # fit of the same global batch (loader.py:_epoch_indices)
+        assert shards[0][i] + shards[1][i] == gb
 
 
 def test_loader_retries_corrupt_samples():

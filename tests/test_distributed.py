@@ -9,11 +9,13 @@ checks a cross-process global-array reduction — i.e. the exact wiring
 `scripts/train.py` uses on a pod slice.
 """
 
+import json
 import os
 import socket
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -81,3 +83,173 @@ def test_two_process_cpu_distributed():
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         # rows are (1,1,1,1) and (2,2,2,2) -> global sum 12
         assert "DIST_OK 12.0" in out, f"proc {pid} output:\n{out}"
+
+
+_FIT_WORKER = r"""
+import json
+import os
+import sys
+
+import jax
+jax.config.update("jax_platforms", "cpu")  # undo axon sitecustomize
+
+import hashlib
+import numpy as np
+
+from slotdiffusion_tpu.parallel import maybe_initialize_distributed
+
+if os.environ.get("JAX_NUM_PROCESSES"):
+    assert maybe_initialize_distributed(verbose=False), "detection failed"
+
+from slotdiffusion_tpu.data import DataModule, build_dataset
+from slotdiffusion_tpu.methods.build import build_method
+from slotdiffusion_tpu.models import build_model
+from slotdiffusion_tpu.utils import load_params
+
+params = load_params("configs/savi_ldm_synthetic_params-res64.py")
+# tiny fit: 2 steps/epoch x 2 epochs; GLOBAL batch 8 regardless of the
+# process topology (batch_is_per_host: per-host bs x process_count)
+params.train_samples = 16
+params.val_samples = 10            # val batches 8 + ragged 2
+params.train_batch_size = 8 // jax.process_count()
+params.val_batch_size = 8 // jax.process_count()
+params.max_epochs = 2
+params.print_iter = 1
+params.save_interval = 100.0       # only max_steps/final saves
+params.num_workers = 1
+params.async_ckpt = False
+params.use_viz = False
+
+ckp = os.environ["FIT_CKP"]
+max_steps = int(os.environ.get("FIT_MAX_STEPS", "-1"))
+resume_from = os.environ.get("FIT_RESUME", "")
+if max_steps > 0:
+    params.max_steps = max_steps
+
+train_set, val_set = build_dataset(params)
+dm = DataModule(params, train_set, val_set,
+                process_index=jax.process_index(),
+                process_count=jax.process_count())
+model = build_model(params)
+method = build_method(model, dm, params, ckp_path=ckp)
+method.fit(resume_from=resume_from or None, san_check_val_step=0)
+
+state = jax.device_get(method.state)
+leaves, _ = jax.tree_util.tree_flatten(
+    {"params": state.params, "ema": state.ema})
+digest = hashlib.sha256()
+for leaf in leaves:
+    digest.update(np.ascontiguousarray(leaf).tobytes())
+print("FIT_DIGEST", digest.hexdigest(), "STEP", int(state.step))
+"""
+
+
+def _run_fit_workers(n_procs, ckp_dir, max_steps=-1, resume_from="",
+                     devices_per_proc=2):
+    port = _free_port()
+    procs = []
+    for pid in range(n_procs):
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            FIT_CKP=ckp_dir,
+            FIT_MAX_STEPS=str(max_steps),
+            FIT_RESUME=resume_from,
+            PYTHONPATH=_REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+            # share the suite's persistent XLA cache: the four fit phases
+            # recompile the same jit_train_step (~2.5 min each on this
+            # 1-core host) without it
+            JAX_COMPILATION_CACHE_DIR=os.path.join(_REPO, ".cache", "jax"),
+        )
+        if n_procs > 1:
+            env.update(
+                JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                JAX_NUM_PROCESSES=str(n_procs),
+                JAX_PROCESS_ID=str(pid),
+            )
+        else:
+            for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                      "JAX_PROCESS_ID"):
+                env.pop(k, None)
+        flags = [f for f in env.get("XLA_FLAGS", "").split()
+                 if "xla_force_host_platform_device_count" not in f]
+        flags.append("--xla_force_host_platform_device_count="
+                     f"{devices_per_proc}")
+        env["XLA_FLAGS"] = " ".join(flags)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _FIT_WORKER], env=env, cwd=_REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=1200)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+    return outs
+
+
+def _read_losses(ckp_dir):
+    path = os.path.join(ckp_dir, "train_log.jsonl")
+    with open(path) as f:
+        recs = [json.loads(line) for line in f]
+    return {r["step"]: r["train/total_loss"] for r in recs
+            if "train/total_loss" in r}
+
+
+def _digest(out):
+    for line in out.splitlines():
+        if line.startswith("FIT_DIGEST"):
+            return line.split()[1], int(line.split()[3])
+    raise AssertionError(f"no digest in output:\n{out}")
+
+
+@pytest.mark.slow
+def test_multihost_fit_matches_single_process_and_resumes_bit_exact(
+        tmp_path):
+    """End-to-end multi-host Trainer.fit (VERDICT r3 item 2): a 2-process x
+    2-virtual-device fit of the tiny savi_ldm config must (a) exercise the
+    per-host loader block shards, (b) skip the deliberately ragged val
+    batch (trainer.py multi-host skip), (c) checkpoint from process 0 only,
+    (d) produce step-for-step train losses matching a single-process fit of
+    the SAME global batch, and (e) resume bit-exactly after a max_steps cut
+    (reference contract: DDP via sbatch_run.sh:37-42 + DistributedSampler).
+    """
+    single = str(tmp_path / "single")
+    multi = str(tmp_path / "multi")
+    cut = str(tmp_path / "cut")
+    resumed = str(tmp_path / "resumed")
+
+    # single-process reference fit: 1 proc x 4 devices, global batch 8
+    _run_fit_workers(1, single, devices_per_proc=4)
+    # full multi-host fit: 2 procs x 2 devices, same global mesh/batch
+    outs = _run_fit_workers(2, multi)
+
+    # (b) the ragged 2-sample val batch is skipped on multi-host
+    assert any("skipped ragged batch" in o for o in outs), outs[0]
+
+    # (c) checkpoints exist (written by process 0; both procs share the dir)
+    assert os.path.isdir(os.path.join(multi, "ckpt_final"))
+
+    # (d) same per-step global batches + replicated step => same losses
+    single_losses = _read_losses(single)
+    multi_losses = _read_losses(multi)
+    assert set(single_losses) == set(multi_losses) != set()
+    for step in sorted(single_losses):
+        np.testing.assert_allclose(
+            multi_losses[step], single_losses[step], rtol=1e-5,
+            err_msg=f"step {step}")
+
+    # (e) cut at step 2 (epoch boundary), resume to completion: the final
+    # params+EMA digest must equal the uninterrupted multi-host run's
+    _run_fit_workers(2, cut, max_steps=2)
+    outs_resumed = _run_fit_workers(
+        2, resumed, resume_from=os.path.join(cut, "ckpt_last"))
+    d_full, step_full = _digest(outs[0])
+    d_resumed, step_resumed = _digest(outs_resumed[0])
+    assert step_full == step_resumed == 4
+    assert d_full == d_resumed, "resumed multi-host fit is not bit-exact"
