@@ -115,7 +115,8 @@ params.train_batch_size = 8 // jax.process_count()
 params.val_batch_size = 8 // jax.process_count()
 params.max_epochs = 2
 params.print_iter = 1
-params.save_interval = 100.0       # only max_steps/final saves
+params.save_interval = 100.0       # only epoch-end/final saves
+params.save_epoch_end = True       # ckpt_epoch1 at step 2 = resume point
 params.num_workers = 1
 params.async_ckpt = False
 params.use_viz = False
@@ -214,14 +215,16 @@ def test_multihost_fit_matches_single_process_and_resumes_bit_exact(
     """End-to-end multi-host Trainer.fit (VERDICT r3 item 2): a 2-process x
     2-virtual-device fit of the tiny savi_ldm config must (a) exercise the
     per-host loader block shards, (b) skip the deliberately ragged val
-    batch (trainer.py multi-host skip), (c) checkpoint from process 0 only,
+    batch (trainer.py multi-host skip), (c) write checkpoints through
+    orbax's multi-process coordination (all processes call save; the
+    primary host writes),
     (d) produce step-for-step train losses matching a single-process fit of
-    the SAME global batch, and (e) resume bit-exactly after a max_steps cut
-    (reference contract: DDP via sbatch_run.sh:37-42 + DistributedSampler).
+    the SAME global batch, and (e) resume bit-exactly from the mid-run
+    epoch-end checkpoint (reference contract: DDP via sbatch_run.sh:37-42
+    + DistributedSampler).
     """
     single = str(tmp_path / "single")
     multi = str(tmp_path / "multi")
-    cut = str(tmp_path / "cut")
     resumed = str(tmp_path / "resumed")
 
     # single-process reference fit: 1 proc x 4 devices, global batch 8
@@ -244,11 +247,11 @@ def test_multihost_fit_matches_single_process_and_resumes_bit_exact(
             multi_losses[step], single_losses[step], rtol=1e-5,
             err_msg=f"step {step}")
 
-    # (e) cut at step 2 (epoch boundary), resume to completion: the final
-    # params+EMA digest must equal the uninterrupted multi-host run's
-    _run_fit_workers(2, cut, max_steps=2)
+    # (e) resume from the step-2 epoch-end checkpoint of the SAME run (an
+    # interrupted run restarts from exactly such a mid-run save): the
+    # final params+EMA digest must equal the uninterrupted run's
     outs_resumed = _run_fit_workers(
-        2, resumed, resume_from=os.path.join(cut, "ckpt_last"))
+        2, resumed, resume_from=os.path.join(multi, "ckpt_epoch1"))
     d_full, step_full = _digest(outs[0])
     d_resumed, step_resumed = _digest(outs_resumed[0])
     assert step_full == step_resumed == 4
