@@ -104,11 +104,13 @@ if os.environ.get("JAX_NUM_PROCESSES"):
 from slotdiffusion_tpu.data import DataModule, build_dataset
 from slotdiffusion_tpu.methods.build import build_method
 from slotdiffusion_tpu.models import build_model
-from slotdiffusion_tpu.utils import load_params
 
-params = load_params("configs/savi_ldm_synthetic_params-res64.py")
-# tiny fit: 2 steps/epoch x 2 epochs; GLOBAL batch 8 regardless of the
-# process topology (batch_is_per_host: per-host bs x process_count)
+import __graft_entry__ as g
+
+# tiny savi_ldm (the graft-entry dryrun model at 32x32): 2 steps/epoch x
+# 2 epochs; GLOBAL batch 8 regardless of the process topology
+# (batch_is_per_host: per-host bs x process_count)
+params = g._tiny_savi_ldm_params()
 params.train_samples = 16
 params.val_samples = 10            # val batches 8 + ragged 2
 params.train_batch_size = 8 // jax.process_count()
@@ -120,6 +122,7 @@ params.save_epoch_end = True       # ckpt_epoch1 at step 2 = resume point
 params.num_workers = 1
 params.async_ckpt = False
 params.use_viz = False
+params.load_mask = True            # seg host-metrics on the val split
 
 ckp = os.environ["FIT_CKP"]
 max_steps = int(os.environ.get("FIT_MAX_STEPS", "-1"))
