@@ -45,6 +45,11 @@ def main():
                         help="model-axis size of the (data, model) mesh: "
                              "tensor-parallel attention/FFN shardings "
                              "(parallel/tp.py) on top of data parallelism")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="ZeRO-3-style sharding of large param/"
+                             "optimizer/EMA leaves over the data axis "
+                             "(parallel/tp.py:fsdp_augment); composes "
+                             "with --tp")
     parser.add_argument("--san_check_val_step", type=int, default=2)
     parser.add_argument("--max_steps", type=int, default=-1,
                         help="cap total optimizer steps (smoke tests)")
@@ -114,6 +119,8 @@ def main():
     if args.tp > 1:
         from slotdiffusion_tpu.parallel import make_mesh
         mesh = make_mesh(model=args.tp)
+    if args.fsdp:
+        params.fsdp = True
     method = build_method(
         model=model, datamodule=datamodule, params=params,
         ckp_path=ckp_path, mesh=mesh)

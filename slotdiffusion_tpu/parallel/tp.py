@@ -77,22 +77,73 @@ def param_spec(path, leaf, tp_size: int) -> P:
     return P()
 
 
-def train_state_shardings(state, mesh: Mesh):
+# FSDP sharding threshold: leaves below this many elements replicate —
+# gathering tiny tensors costs more latency than their memory saves
+_FSDP_MIN_SIZE = 1 << 14
+
+
+def fsdp_augment(spec: P, leaf, data_size: int) -> P:
+    """ZeRO-3-style augmentation: additionally shard one dimension of a
+    large leaf over the `data` axis (params, optimizer moments, and the
+    EMA shadow all pass through here, so the full ZeRO trio is sharded).
+
+    The TPU-native mechanism is pure GSPMD: parameters live sharded in
+    HBM; XLA inserts the per-layer all-gather before use and the
+    reduce-scatter of gradients back to the shards — no hand-written
+    collectives, and the math is unchanged (resharding is
+    semantics-preserving, asserted by tests/test_fsdp.py).
+
+    Picks the largest dimension not already sharded whose size divides
+    the data-axis extent; leaves with no such dimension (or fewer than
+    _FSDP_MIN_SIZE elements) keep their base spec.
+    """
+    ndim = getattr(leaf, "ndim", 0)
+    if data_size <= 1 or ndim == 0 or leaf.size < _FSDP_MIN_SIZE:
+        return spec
+    names = list(spec) + [None] * (ndim - len(spec))
+    best = None
+    for d in range(ndim):
+        if names[d] is None and leaf.shape[d] % data_size == 0:
+            if best is None or leaf.shape[d] > leaf.shape[best]:
+                best = d
+    if best is None:
+        return spec
+    names[best] = "data"
+    return P(*names)
+
+
+def train_state_shardings(state, mesh: Mesh, fsdp: bool = False):
     """NamedSharding tree congruent with a TrainState (or any pytree).
 
     Optimizer moments (optax mu/nu/acc_grads) and the EMA shadow mirror
     the param dict structure, so the same tail-anchored rules shard them
     identically — required for the donated buffers to stay in place
-    across steps. Everything unmatched replicates.
+    across steps. Everything unmatched replicates. With `fsdp`, large
+    leaves additionally shard over the `data` axis (fsdp_augment).
     """
     tp = mesh.shape.get("model", 1)
+    data = mesh.shape.get("data", 1)
 
     def one(path, leaf):
-        if tp == 1:
-            return NamedSharding(mesh, P())
-        return NamedSharding(mesh, param_spec(path, leaf, tp))
+        spec = param_spec(path, leaf, tp) if tp > 1 else P()
+        if fsdp:
+            spec = fsdp_augment(spec, leaf, data)
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(one, state)
+
+
+def fsdp_param_count(params, mesh: Mesh) -> int:
+    """Number of param elements actually sharded over `data` under FSDP
+    (for logging / asserting the layout engaged)."""
+    tp = mesh.shape.get("model", 1)
+    data = mesh.shape.get("data", 1)
+    n = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        base = param_spec(path, leaf, tp) if tp > 1 else P()
+        if "data" in fsdp_augment(base, leaf, data):
+            n += leaf.size
+    return n
 
 
 def tp_param_count(params, mesh: Mesh) -> int:

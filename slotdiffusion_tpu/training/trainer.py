@@ -237,11 +237,16 @@ class Trainer:
 
     def _state_shardings(self, state):
         """Sharding tree for a TrainState over self.mesh (cached per
-        tree structure via the first call — structures don't change)."""
-        if self.mesh.shape.get("model", 1) == 1:
+        tree structure via the first call — structures don't change).
+
+        `params.fsdp=True` additionally shards large param/optimizer/EMA
+        leaves over the `data` axis (ZeRO-3 layout, parallel/tp.py:
+        fsdp_augment); composes freely with TP over `model`."""
+        fsdp = bool(self.params.get("fsdp", False))
+        if self.mesh.shape.get("model", 1) == 1 and not fsdp:
             return replicated_sharding(self.mesh)
         from ..parallel.tp import train_state_shardings
-        return train_state_shardings(state, self.mesh)
+        return train_state_shardings(state, self.mesh, fsdp=fsdp)
 
     def _sched_dict(self, step):
         return {k: fn(step) for k, fn in self.step_scalars.items()} or None
