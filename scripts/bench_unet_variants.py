@@ -22,6 +22,9 @@ the round-2 bench_unet_ab series — full table in BASELINE.md):
 | fused-GN Pallas kernel          | 6.7 vs 5.36 ms/step | LOSES (XLA fuses) |
 | dpa / "auto" attention backend  | == einsum in context | einsum default |
 | winograd F(2,3) kernel          | 167us vs 57us direct | LOSES (VPU xforms) |
+| fused-MHA Pallas kernel (r4)    | 160.2 vs ~206 | LOSES in context (XLA
+  already fuses the softmax chain at these token counts; the kernel's
+  per-batch-item grid serializes what XLA batches) |
 | div-after-softmax, full-bf16 softmax, fused q/kv, merged-1conv upsample,
   per-jit compiler_options sweeps | all regress or noise | reverted |
 """
@@ -51,6 +54,7 @@ VARIANTS = {
     "fused_gn": dict(fused_gn=True),
     "dpa_attention": dict(attn_backend="dpa"),
     "auto_attention": dict(attn_backend="auto"),
+    "fused_attention": dict(attn_backend="fused"),
 }
 
 

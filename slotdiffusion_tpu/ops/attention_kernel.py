@@ -14,6 +14,15 @@ heads are static lane slices of the packed [N, H*D] layout.
 Training: `jax.custom_vjp` with the einsum reference replayed for the
 backward (same cost the unfused path pays today; the forward speedup
 applies to both training and sampling).
+
+Status: measured-NEGATIVE in full-model context (round 4,
+scripts/bench_unet_variants.py --variants fused_attention: 160.2 vs
+~206 steps/s on the flagship UNet). XLA already fuses the logits ->
+softmax -> value chain at these token counts, and this kernel's
+one-batch-item-per-program grid serializes work XLA batches across the
+MXU. Kept behind `attn_backend="fused"` as a parity-tested documented
+dead end, like ops/winograd_conv.py and ops/fused_norm.py; "einsum"
+remains the default.
 """
 
 import functools
