@@ -3,7 +3,7 @@
 TPU-native replacements for the `nerv.utils` surface the reference relies on
 (reference usage: video_based/datasets/movi.py:10, test_recon.py:13):
 `load_obj/dump_obj` (pkl/json IO), `glob_all`, `save_video`, `AverageMeter`,
-`mkdir_or_exist`, `read_all_lines`.
+`mkdir_or_exist`, `read_all_lines`, `VideoReader`.
 """
 
 import glob
@@ -115,6 +115,72 @@ def save_video(frames, path, fps=8):
         iio.imwrite(gif_path, frames, extension=".gif",
                     duration=1000.0 / max(fps, 1), loop=0)
         return gif_path
+
+
+class VideoReader:
+    """cv2-backed video file reader.
+
+    `nerv.utils.VideoReader` analog covering the surface the reference
+    uses (scripts/data_utils/physion_video2frames.py:26-30): open an mp4,
+    dump its frames to a jpg folder with optional resize and frame cap.
+    cv2 is imported lazily so the rest of the package works without it.
+    """
+
+    def __init__(self, path):
+        import cv2
+
+        if not os.path.isfile(path):
+            raise FileNotFoundError(path)
+        self._cv2 = cv2
+        self.path = path
+        self.cap = cv2.VideoCapture(path)
+        self.fps = self.cap.get(cv2.CAP_PROP_FPS) or 0.0
+        self.num_frames = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        self.width = int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        self.height = int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+
+    def __len__(self):
+        return self.num_frames
+
+    def _iter_frames(self, target_shape=None, max_num=-1, rgb=True):
+        cv2 = self._cv2
+        t = 0
+        while max_num < 0 or t < max_num:
+            ok, frame = self.cap.read()
+            if not ok:
+                break
+            if target_shape is not None:
+                # target_shape is (W, H) like nerv/cv2.resize
+                frame = cv2.resize(frame, tuple(target_shape),
+                                   interpolation=cv2.INTER_AREA)
+            yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB) if rgb else frame
+            t += 1
+
+    def read_video(self, target_shape=None, max_num=-1):
+        """Decode the whole video -> [T, H, W, 3] uint8 RGB array."""
+        frames = list(self._iter_frames(target_shape, max_num))
+        self.release()
+        return np.stack(frames) if frames else np.zeros((0, 0, 0, 3),
+                                                        np.uint8)
+
+    def cvt2frames(self, frame_dir, target_shape=None, max_num=-1,
+                   filename_tmpl="{:06d}.jpg", quality=95):
+        """Dump frames to `frame_dir` as jpgs (the Physion layout the
+        datasets consume: 000000.jpg, 000001.jpg, ...)."""
+        cv2 = self._cv2
+        mkdir_or_exist(frame_dir)
+        n = 0
+        for frame in self._iter_frames(target_shape, max_num, rgb=False):
+            cv2.imwrite(os.path.join(frame_dir, filename_tmpl.format(n)),
+                        frame, [cv2.IMWRITE_JPEG_QUALITY, quality])
+            n += 1
+        self.release()
+        return n
+
+    def release(self):
+        if self.cap is not None:
+            self.cap.release()
+            self.cap = None
 
 
 def save_image(img, path):

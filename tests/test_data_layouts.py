@@ -361,6 +361,47 @@ def test_voc_layout_alignment_and_ignore(tmp_path):
 # -------------------------------------------------------------------- COCO
 
 
+def test_video_reader_cvt2frames(tmp_path):
+    """VideoReader (nerv.utils analog): mp4 -> resized jpg frame folder,
+    the extraction step Physion's datasets consume
+    (scripts/data_utils/physion_video2frames.py)."""
+    cv2 = pytest.importorskip("cv2")
+    from slotdiffusion_tpu.utils.misc import VideoReader
+
+    path = str(tmp_path / "v.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                        (40, 32))
+    if not w.isOpened():
+        pytest.skip("no mp4 encoder in this cv2 build")
+    r = np.random.RandomState(0)
+    # solid per-frame colors survive lossy encode + INTER_AREA resize
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0),
+              (128, 128, 128)]
+    for c in colors:
+        w.write(np.full((32, 40, 3), c, np.uint8))
+    w.release()
+
+    vr = VideoReader(path)
+    assert (vr.width, vr.height) == (40, 32)
+    vid = vr.read_video(target_shape=(16, 16))
+    assert vid.shape == (5, 16, 16, 3)
+    # BGR->RGB conversion: first frame was written BGR=(255,0,0) -> red
+    # channel last in BGR is index 2 in RGB output
+    assert vid[0, ..., 2].mean() > 180 and vid[0, ..., 0].mean() < 60
+
+    out = tmp_path / "frames"
+    n = VideoReader(path).cvt2frames(str(out), target_shape=(16, 16),
+                                     max_num=4)
+    assert n == 4
+    files = sorted(os.listdir(out))
+    assert files == [f"{i:06d}.jpg" for i in range(4)]
+    f0 = np.asarray(Image.open(out / "000000.jpg"))
+    assert f0.shape == (16, 16, 3)
+    # frame 0 was written BGR=(255,0,0) i.e. blue: cv2.imwrite consumes
+    # BGR, so the jpg decodes to RGB blue just like read_video's output
+    assert f0[..., 2].mean() > 180 and f0[..., 0].mean() < 60
+
+
 class _StubCOCO:
     """Minimal pycocotools.coco.COCO: rectangles as segmentations."""
 
