@@ -69,10 +69,15 @@ def main():
         variables = load_model_params(model, args.weight, params)
     else:
         import jax.numpy as jnp
+
+        # init through the loss path: flax only creates params for
+        # executed submodules, and the DM decoder runs there, not in the
+        # plain encode forward
+        rngs = {n: jax.random.PRNGKey(i) for i, n in enumerate(
+            ("params", "diffusion", "gumbel", "dropout", "default"))}
         variables = model.init(
-            {"params": jax.random.PRNGKey(0),
-             "diffusion": jax.random.PRNGKey(1)},
-            {"img": jnp.zeros(shape, jnp.float32)}, train=False)
+            rngs, {"img": jnp.zeros(shape, jnp.float32)},
+            method=model.compute_losses)
         variables = {"params": variables["params"]}
         print("WARNING: no --weight, exporting random-init params")
 
