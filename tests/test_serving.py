@@ -156,6 +156,62 @@ def test_export_cross_platform(tmp_path):
                                rtol=2e-5, atol=2e-6)
 
 
+def test_http_server_roundtrip(tmp_path):
+    """scripts/serve_model.py: /health + /predict over a live local
+    server against an exported encode artifact."""
+    import io
+    import json
+    import sys
+    import threading
+    import urllib.request
+
+    sys.path.insert(0, "scripts")
+    from serve_model import make_server
+
+    model, variables, batch = _tiny_sa_ldm()
+    fn, example = serving.build_serving_fn(
+        model, variables, "encode", (2, *RES, 3))
+    path = str(tmp_path / "encode.shlo")
+    serving.save_artifact(path, fn, example, meta={"what": "encode"})
+
+    srv = make_server(path, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        health = json.loads(
+            urllib.request.urlopen(f"{base}/health", timeout=30).read())
+        assert health["status"] == "ok"
+        assert health["meta"]["what"] == "encode"
+
+        img = np.asarray(batch["img"], np.float32)
+        buf = io.BytesIO()
+        np.savez(buf, arg0=img)
+        req = urllib.request.Request(f"{base}/predict", buf.getvalue(),
+                                     method="POST")
+        out = np.load(io.BytesIO(
+            urllib.request.urlopen(req, timeout=60).read()))
+        live_slots, live_masks = fn(jnp.asarray(img))
+        np.testing.assert_allclose(out["out0"], np.asarray(live_slots),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(out["out1"], np.asarray(live_masks),
+                                   rtol=2e-5, atol=2e-6)
+
+        # shape mismatch -> 400 with a useful message
+        bad = io.BytesIO()
+        np.savez(bad, arg0=img[:1])
+        req = urllib.request.Request(f"{base}/predict", bad.getvalue(),
+                                     method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert b"arg0" in e.read()
+    finally:
+        srv.shutdown()
+
+
 def test_load_rejects_non_artifact(tmp_path):
     p = tmp_path / "junk.shlo"
     p.write_bytes(b'{"magic": "nope"}\nxx')
