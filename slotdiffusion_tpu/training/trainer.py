@@ -25,8 +25,10 @@ The data-parallel contract matches the reference's `--ddp` flag
 gradient all-reduce over ICI.
 """
 
+import glob
 import json
 import os
+import shutil
 import time
 from functools import partial
 from typing import Any, Callable, Dict, Optional
@@ -368,9 +370,43 @@ class Trainer:
         return self._ckptr
 
     def wait_for_checkpoints(self):
-        """Block until any in-flight async save has committed."""
+        """Block until any in-flight async save has committed (and point
+        `ckpt_last` at it)."""
         if getattr(self, "_ckptr", None) is not None:
             self._ckptr.wait_until_finished()
+        self._finalize_last()
+
+    def _finalize_last(self):
+        """Atomically repoint the `ckpt_last` symlink at the newest
+        COMMITTED save, then delete superseded `ckpt_last-*` dirs.
+
+        Crash safety (SURVEY §5 preemption resilience): "last" saves go
+        to unique step-named dirs, so a SIGKILL at ANY instant leaves
+        either the old or the new complete checkpoint reachable through
+        `ckpt_last` — unlike saving over the path in place, where
+        orbax's force=True deletes the old dir before the new write
+        commits and a preemption in that window loses both
+        (tests/test_crash_safety.py)."""
+        pending = getattr(self, "_pending_last", None)
+        if pending is None:
+            return
+        self._pending_last = None
+        if jax.process_index() != 0:
+            return
+        link = os.path.join(os.path.dirname(pending), "ckpt_last")
+        if os.path.isdir(link) and not os.path.islink(link):
+            # pre-symlink-scheme directory (older runs): move it aside so
+            # the atomic pointer swap below can land
+            os.rename(link, link + "-legacy")
+        tmp = link + ".tmp"
+        if os.path.lexists(tmp):
+            os.remove(tmp)
+        os.symlink(os.path.basename(pending), tmp)
+        os.replace(tmp, link)  # atomic pointer swap
+        # prune superseded saves + orbax tmp dirs from crashed writes
+        for stale in glob.glob(link + "-*"):
+            if os.path.abspath(stale) != os.path.abspath(pending):
+                shutil.rmtree(stale, ignore_errors=True)
 
     def save_checkpoint(self, tag="last"):
         if self.ckp_path is None:
@@ -380,18 +416,37 @@ class Trainer:
         # barriers) — gating to process 0 deadlocks the commit barrier
         # the moment other processes move on or exit
         # (tests/test_distributed.py multihost fit).
-        path = os.path.abspath(os.path.join(self.ckp_path, f"ckpt_{tag}"))
         ckptr = self._get_ckptr()
         # one save in flight at a time; also guards re-saving a path the
         # previous async write is still committing
         ckptr.wait_until_finished()
+        self._finalize_last()
         # fetch to host BEFORE the async write: the jitted train step
         # donates the state buffers, so a background read of live device
         # arrays would race the next step's in-place update
         state_host = jax.device_get(self.state)
+        if tag == "last":
+            step = int(state_host.step)
+            # same step == identical state: skip (also keeps the skip
+            # decision process-local and deterministic, so every process
+            # makes the same call and orbax's barrier stays aligned)
+            if getattr(self, "_last_saved_step", None) == step:
+                return
+            self._last_saved_step = step
+            path = os.path.join(self.ckp_path, f"ckpt_last-{step}")
+            # leftover dir with this name from a pre-crash run may be the
+            # current ckpt_last target: never force-overwrite it in place
+            while os.path.exists(path):
+                path += "r"
+        else:
+            path = os.path.join(self.ckp_path, f"ckpt_{tag}")
+        path = os.path.abspath(path)
         ckptr.save(path, state_host, force=True)
+        if tag == "last":
+            self._pending_last = path
         if not self.params.get("async_ckpt", True):
             ckptr.wait_until_finished()
+            self._finalize_last()
 
     def load_checkpoint(self, path):
         import orbax.checkpoint as ocp

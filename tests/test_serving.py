@@ -17,7 +17,9 @@ from test_models_forward import (RES, SLOT_SIZE, _init_and_loss, _p,
                                  enc_dict, img_batch, slot_dict,
                                  tiny_unet_dict, tiny_vae_dict, video_batch)
 
-pytestmark = pytest.mark.fast
+# fast tier: the encode/denoise/http/artifact tests; the two
+# full sampling-chain exports stay in the slow (nightly) tier
+# to keep `pytest -m fast` inside its wall-clock budget
 
 
 def _tiny_sa_ldm():
@@ -40,6 +42,7 @@ def _tiny_sa_ldm():
     return model, {"params": variables["params"]}, batch
 
 
+@pytest.mark.fast
 def test_export_encode_roundtrip(tmp_path):
     model, variables, batch = _tiny_sa_ldm()
     fn, example = serving.build_serving_fn(
@@ -62,6 +65,7 @@ def test_export_encode_roundtrip(tmp_path):
                                atol=2e-6)
 
 
+@pytest.mark.fast
 def test_export_denoise_roundtrip(tmp_path):
     model, variables, _ = _tiny_sa_ldm()
     fn, example = serving.build_serving_fn(
@@ -138,6 +142,7 @@ def test_export_video_sample_folds_time(tmp_path):
     assert out.shape == (1, 2, *RES, 3)  # unfolded back to [B, T, ...]
 
 
+@pytest.mark.fast
 def test_export_cross_platform(tmp_path):
     """Cross-lowering: a CPU host exports for tpu+cpu; the artifact
     records its platforms and still executes on the CPU backend."""
@@ -156,6 +161,7 @@ def test_export_cross_platform(tmp_path):
                                rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.fast
 def test_http_server_roundtrip(tmp_path):
     """scripts/serve_model.py: /health + /predict over a live local
     server against an exported encode artifact."""
@@ -212,6 +218,7 @@ def test_http_server_roundtrip(tmp_path):
         srv.shutdown()
 
 
+@pytest.mark.fast
 def test_load_rejects_non_artifact(tmp_path):
     p = tmp_path / "junk.shlo"
     p.write_bytes(b'{"magic": "nope"}\nxx')
