@@ -59,9 +59,11 @@ def main():
     model = build_model(params)
     res = tuple(params.resolution)
     shape = (args.bs, *res, 3)
-    if params.get("n_sample_frames") and "video" in str(
-            params.get("dataset", "")) or params.model.startswith(
-            ("SAVi", "STEVE")):
+    is_video = bool(
+        (params.get("n_sample_frames")
+         and "video" in str(params.get("dataset", "")))
+        or params.model.startswith(("SAVi", "STEVE")))
+    if is_video:
         shape = (args.bs, params.get("n_sample_frames", 3), *res, 3)
 
     if args.weight:

@@ -81,7 +81,14 @@ def make_handler(call, header):
             except (KeyError, ValueError, OSError) as e:
                 return self._reply(
                     400, json.dumps({"error": str(e)}).encode())
-            outs = call(*args)
+            try:
+                outs = call(*args)
+            except Exception as e:  # execution-time failures (backend/
+                # platform mismatch, OOM, ...) -> structured 500, not a
+                # dropped connection (ADVICE r4)
+                return self._reply(
+                    500, json.dumps({"error": f"{type(e).__name__}: "
+                                              f"{e}"}).encode())
             if not isinstance(outs, (tuple, list)):
                 outs = (outs,)
             buf = io.BytesIO()

@@ -419,8 +419,13 @@ def dpm_solver_sample(
 
     x = x_T
     intermediates = []
+    # last step index handed to _post, tracked explicitly so the
+    # denoise_to_zero correction below gets the reference's `step + 1`
+    # even when return_intermediate=False (sample(), dpm_solver.py:1330)
+    _last_step = [-1]
 
     def _post(x, t, step):
+        _last_step[0] = step
         if correcting_xt_fn is not None:
             x = correcting_xt_fn(x, t, step)
         if return_intermediate:
@@ -560,7 +565,7 @@ def dpm_solver_sample(
         # data-prediction step at t_0 regardless of algorithm type
         x = x0_fn(x, t_0)
         if method != "adaptive":
-            x = _post(x, t_0, len(intermediates))
+            x = _post(x, t_0, _last_step[0] + 1)
 
     if return_intermediate:
         return x, intermediates

@@ -435,9 +435,20 @@ class Trainer:
             self._last_saved_step = step
             path = os.path.join(self.ckp_path, f"ckpt_last-{step}")
             # leftover dir with this name from a pre-crash run may be the
-            # current ckpt_last target: never force-overwrite it in place
-            while os.path.exists(path):
-                path += "r"
+            # current ckpt_last target: never force-overwrite it in place.
+            # Multi-host: probe on process 0 only and broadcast the result
+            # — per-process filesystem probing can observe different
+            # states (stale NFS caches) and desynchronize orbax's
+            # coordinated save (ADVICE r4).
+            retries = 0
+            if jax.process_index() == 0:
+                while os.path.exists(path + "r" * retries):
+                    retries += 1
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+                retries = int(multihost_utils.broadcast_one_to_all(
+                    np.int32(retries)))
+            path += "r" * retries
         else:
             path = os.path.join(self.ckp_path, f"ckpt_{tag}")
         path = os.path.abspath(path)

@@ -92,3 +92,31 @@ def test_vp_schedule_roundtrip(betas):
     for t in (0.05, 0.5, 0.95):
         assert ns.alpha(t) ** 2 + ns.sigma(t) ** 2 == pytest.approx(1.0,
                                                                     abs=1e-9)
+
+
+@pytest.mark.parametrize("return_intermediate", [False, True])
+def test_denoise_to_zero_correcting_step_index(betas, return_intermediate):
+    """The final correcting_xt_fn call after denoise_to_zero must receive
+    the reference's `last_step + 1` index regardless of whether
+    intermediates are collected (ADVICE r4: with return_intermediate=False
+    the old code passed len(intermediates) == 0)."""
+    ns = VPSchedule(betas)
+    x_star = jnp.ones((1, 4, 4, 1), jnp.float32) * 0.5
+    x_T = jnp.zeros((1, 4, 4, 1), jnp.float32)
+    seen = []
+
+    def correcting_xt_fn(x, t, step):
+        seen.append(step)
+        return x
+
+    steps = 6
+    out = dpm_solver_sample(
+        _optimal_eps(x_star, ns), betas, x_T, steps=steps, order=2,
+        method="multistep", model_type="eps",
+        correcting_xt_fn=correcting_xt_fn, denoise_to_zero=True,
+        return_intermediate=return_intermediate)
+    if return_intermediate:
+        out = out[0]
+    # multistep _post runs at steps 0..steps, then denoise_to_zero at +1
+    assert seen == list(range(steps + 1)) + [steps + 1]
+    assert np.isfinite(np.asarray(out)).all()
