@@ -17,7 +17,10 @@ Rebuild of img_based/datasets/coco.py + coco_transforms.py:
   with -1 rows (COCOCollater, coco_transforms.py:180-205) so batches have
   static shapes for XLA.
 
-pycocotools is imported lazily so the rest of the package works without it.
+pycocotools is imported lazily; without it, `_coco_api.MiniCOCO` (pure
+Python/numpy reader of the same instances_*.json format, incl. polygon +
+compressed-RLE decode) takes over, so the full COCO path has zero native
+dependencies.
 """
 
 import os.path as osp
@@ -44,7 +47,11 @@ class COCODataset(Dataset):
     (instance, id-suppressed), overlap_masks (binary), annos [N, 5]."""
 
     def __init__(self, data_root, resolution, split="val", load_anno=True):
-        from pycocotools.coco import COCO  # lazy: optional dep
+        try:
+            from pycocotools.coco import COCO  # lazy: optional dep
+        except ImportError:
+            # zero-dep fallback over the same on-disk JSON format
+            from ._coco_api import MiniCOCO as COCO
 
         assert split in ("train", "val")
         self.split = split
