@@ -138,18 +138,36 @@ model = build_model(params)
 method = build_method(model, dm, params, ckp_path=ckp)
 method.fit(resume_from=resume_from or None, san_check_val_step=0)
 
-state = jax.device_get(method.state)
-leaves, _ = jax.tree_util.tree_flatten(
-    {"params": state.params, "ema": state.ema})
-digest = hashlib.sha256()
-for leaf in leaves:
-    digest.update(np.ascontiguousarray(leaf).tobytes())
-print("FIT_DIGEST", digest.hexdigest(), "STEP", int(state.step))
+
+def _digest_of(method):
+    state = jax.device_get(method.state)
+    leaves, _ = jax.tree_util.tree_flatten(
+        {"params": state.params, "ema": state.ema})
+    digest = hashlib.sha256()
+    for leaf in leaves:
+        digest.update(np.ascontiguousarray(leaf).tobytes())
+    return digest.hexdigest(), int(state.step)
+
+
+d, step = _digest_of(method)
+print("FIT_DIGEST", d, "STEP", step)
+
+# optional second fit INSIDE the same processes (saves a whole
+# 2-process JAX startup vs launching another worker pair): resume from
+# this run's mid-run epoch-end checkpoint into a fresh ckp dir and
+# digest again — the bit-exact-resume check
+second_ckp = os.environ.get("FIT_SECOND_CKP", "")
+if second_ckp:
+    method2 = build_method(model, dm, params, ckp_path=second_ckp)
+    method2.fit(resume_from=os.path.join(ckp, "ckpt_epoch1"),
+                san_check_val_step=0)
+    d2, step2 = _digest_of(method2)
+    print("FIT_DIGEST_RESUMED", d2, "STEP", step2)
 """
 
 
 def _run_fit_workers(n_procs, ckp_dir, max_steps=-1, resume_from="",
-                     devices_per_proc=2):
+                     devices_per_proc=2, second_ckp=""):
     port = _free_port()
     procs = []
     for pid in range(n_procs):
@@ -159,6 +177,7 @@ def _run_fit_workers(n_procs, ckp_dir, max_steps=-1, resume_from="",
             FIT_CKP=ckp_dir,
             FIT_MAX_STEPS=str(max_steps),
             FIT_RESUME=resume_from,
+            FIT_SECOND_CKP=second_ckp,
             PYTHONPATH=_REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
             # share the suite's persistent XLA cache: the four fit phases
             # recompile the same jit_train_step (~2.5 min each on this
@@ -205,11 +224,11 @@ def _read_losses(ckp_dir):
             if "train/total_loss" in r}
 
 
-def _digest(out):
+def _digest(out, tag="FIT_DIGEST"):
     for line in out.splitlines():
-        if line.startswith("FIT_DIGEST"):
+        if line.startswith(tag + " "):
             return line.split()[1], int(line.split()[3])
-    raise AssertionError(f"no digest in output:\n{out}")
+    raise AssertionError(f"no {tag} in output:\n{out}")
 
 
 @pytest.mark.slow
@@ -232,8 +251,10 @@ def test_multihost_fit_matches_single_process_and_resumes_bit_exact(
 
     # single-process reference fit: 1 proc x 4 devices, global batch 8
     _run_fit_workers(1, single, devices_per_proc=4)
-    # full multi-host fit: 2 procs x 2 devices, same global mesh/batch
-    outs = _run_fit_workers(2, multi)
+    # full multi-host fit: 2 procs x 2 devices, same global mesh/batch;
+    # the same worker pair then resumes from its own ckpt_epoch1 into
+    # `resumed` (one JAX startup instead of two)
+    outs = _run_fit_workers(2, multi, second_ckp=resumed)
 
     # (b) the ragged 2-sample val batch is skipped on multi-host
     assert any("skipped ragged batch" in o for o in outs), outs[0]
@@ -253,9 +274,7 @@ def test_multihost_fit_matches_single_process_and_resumes_bit_exact(
     # (e) resume from the step-2 epoch-end checkpoint of the SAME run (an
     # interrupted run restarts from exactly such a mid-run save): the
     # final params+EMA digest must equal the uninterrupted run's
-    outs_resumed = _run_fit_workers(
-        2, resumed, resume_from=os.path.join(multi, "ckpt_epoch1"))
     d_full, step_full = _digest(outs[0])
-    d_resumed, step_resumed = _digest(outs_resumed[0])
+    d_resumed, step_resumed = _digest(outs[0], tag="FIT_DIGEST_RESUMED")
     assert step_full == step_resumed == 4
     assert d_full == d_resumed, "resumed multi-host fit is not bit-exact"
