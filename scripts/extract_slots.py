@@ -26,6 +26,9 @@ def main():
     parser.add_argument("--seq_len", type=int, default=-1,
                         help="override the dataset video length (datasets "
                              "without full-video mode, e.g. synthetic)")
+    parser.add_argument("--set", dest="overrides", action="append",
+                        default=[], metavar="KEY=VALUE",
+                        help="override any params attribute post-load")
     args = parser.parse_args()
 
     import jax
@@ -35,9 +38,10 @@ def main():
     from slotdiffusion_tpu.methods.inference import chunked_video_apply
     from slotdiffusion_tpu.models import build_model
     from slotdiffusion_tpu.training.checkpoint import load_model_params
-    from slotdiffusion_tpu.utils import dump_obj, load_params
+    from slotdiffusion_tpu.utils import apply_overrides, dump_obj, load_params
 
-    params = load_params(args.params)
+    params = apply_overrides(load_params(args.params),
+                         args.overrides)
     if args.seq_len > 0:
         params.n_sample_frames = args.seq_len
     model = build_model(params)

@@ -28,6 +28,9 @@ def main():
     parser.add_argument("--obs_frames", type=int, default=OBS_FRAMES,
                         help="burn-in frames (reference: 45 = 1.5s@30FPS;"
                              " override for synthetic-scale smoke drives)")
+    parser.add_argument("--set", dest="overrides", action="append",
+                        default=[], metavar="KEY=VALUE",
+                        help="override any params attribute post-load")
     args = parser.parse_args()
 
     import jax
@@ -38,9 +41,10 @@ def main():
     from slotdiffusion_tpu.methods.inference import interleaved_rollout
     from slotdiffusion_tpu.models import build_model
     from slotdiffusion_tpu.training.checkpoint import load_model_params
-    from slotdiffusion_tpu.utils import dump_obj, load_params
+    from slotdiffusion_tpu.utils import apply_overrides, dump_obj, load_params
 
-    params = load_params(args.params)
+    params = apply_overrides(load_params(args.params),
+                         args.overrides)
     model = build_model(params)
     variables = load_model_params(model, args.weight, params)
     history_len = params.rollout_dict["history_len"]

@@ -22,6 +22,9 @@ def main():
     parser.add_argument("--weight", required=True,
                         help="ckpt dir or glob of ckpt dirs")
     parser.add_argument("--bs", type=int, default=32)
+    parser.add_argument("--set", dest="overrides", action="append",
+                        default=[], metavar="KEY=VALUE",
+                        help="override any params attribute post-load")
     args = parser.parse_args()
 
     import jax
@@ -30,9 +33,10 @@ def main():
     from slotdiffusion_tpu.data import DataLoader, build_dataset
     from slotdiffusion_tpu.models import build_model
     from slotdiffusion_tpu.training.checkpoint import load_model_params
-    from slotdiffusion_tpu.utils import load_params
+    from slotdiffusion_tpu.utils import apply_overrides, load_params
 
-    params = load_params(args.params)
+    params = apply_overrides(load_params(args.params),
+                         args.overrides)
     params.subset = "test"
     ds = build_dataset(params, val_only=True)
     loader = DataLoader(ds, batch_size=args.bs, shuffle=False,

@@ -15,19 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
 
-def apply_overrides(params, overrides):
-    """Apply KEY=VALUE strings to params (Python literals, else strings)."""
-    import ast
-    for kv in overrides:
-        key, sep, raw = kv.partition("=")
-        if not sep:
-            raise ValueError(f"--set expects KEY=VALUE, got {kv!r}")
-        try:
-            value = ast.literal_eval(raw)
-        except (ValueError, SyntaxError):
-            value = raw
-        setattr(params, key, value)
-    return params
+from slotdiffusion_tpu.utils import apply_overrides  # noqa: E402
 
 
 def main():

@@ -1,4 +1,4 @@
-from .config import BaseParams, load_params
+from .config import BaseParams, apply_overrides, load_params
 from .misc import (
     AverageMeter,
     dump_obj,
@@ -11,6 +11,7 @@ from .misc import (
 
 __all__ = [
     "BaseParams",
+    "apply_overrides",
     "load_params",
     "AverageMeter",
     "load_obj",

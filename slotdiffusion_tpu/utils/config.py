@@ -60,6 +60,24 @@ class BaseParams:
         return "\n".join(lines)
 
 
+def apply_overrides(params, overrides):
+    """Apply `KEY=VALUE` override strings to params (values parse as
+    Python literals, falling back to strings) — the CLI analog of the
+    reference scripts' post-load params mutation (test_recon.py:203-208).
+    Shared by every script exposing `--set`."""
+    import ast
+    for kv in overrides:
+        key, sep, raw = kv.partition("=")
+        if not sep:
+            raise ValueError(f"--set expects KEY=VALUE, got {kv!r}")
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        setattr(params, key, value)
+    return params
+
+
 def load_params(params_path, cls_name="SlotAttentionParams"):
     """Load a params class instance from a Python config file path.
 
