@@ -26,12 +26,19 @@ def main():
     parser.add_argument("--seq_len", type=int, default=-1,
                         help="override the dataset video length (datasets "
                              "without full-video mode, e.g. synthetic)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (tiny models need no TPU;\n                        also a fallback when the device tunnel is wedged)")
     parser.add_argument("--set", dest="overrides", action="append",
                         default=[], metavar="KEY=VALUE",
                         help="override any params attribute post-load")
     args = parser.parse_args()
 
     import jax
+
+    if args.cpu:
+        # the axon sitecustomize sets jax_platforms via jax.config at
+        # startup, which beats the env var
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from slotdiffusion_tpu.data import DataLoader, build_dataset

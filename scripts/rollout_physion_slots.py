@@ -28,12 +28,19 @@ def main():
     parser.add_argument("--obs_frames", type=int, default=OBS_FRAMES,
                         help="burn-in frames (reference: 45 = 1.5s@30FPS;"
                              " override for synthetic-scale smoke drives)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (tiny models need no TPU;\n                        also a fallback when the device tunnel is wedged)")
     parser.add_argument("--set", dest="overrides", action="append",
                         default=[], metavar="KEY=VALUE",
                         help="override any params attribute post-load")
     args = parser.parse_args()
 
     import jax
+
+    if args.cpu:
+        # the axon sitecustomize sets jax_platforms via jax.config at
+        # startup, which beats the env var
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 

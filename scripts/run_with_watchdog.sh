@@ -47,5 +47,23 @@ while :; do
     echo "[watchdog] giving up after $attempt attempts" >> "$LOG"
     exit 1
   fi
-  sleep 10
+  # a hung client wedges the whole device tunnel and the remote side
+  # needs a beat after the kill; don't relaunch until a trivial device
+  # op round-trips again
+  probe=0
+  while :; do
+    probe=$((probe + 1))
+    sleep 20
+    if timeout 90 python -c "
+import jax, jax.numpy as jnp
+jax.block_until_ready(jax.jit(lambda x: x + 1)(jnp.zeros(8)))
+print('probe ok')" >> "$LOG" 2>&1; then
+      break
+    fi
+    echo "[watchdog] tunnel probe $probe failed; waiting" >> "$LOG"
+    if [ "$probe" -ge 20 ]; then
+      echo "[watchdog] tunnel never recovered" >> "$LOG"
+      exit 2
+    fi
+  done
 done

@@ -22,12 +22,19 @@ def main():
     parser.add_argument("--weight", required=True,
                         help="ckpt dir or glob of ckpt dirs")
     parser.add_argument("--bs", type=int, default=32)
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (tiny models need no TPU;\n                        also a fallback when the device tunnel is wedged)")
     parser.add_argument("--set", dest="overrides", action="append",
                         default=[], metavar="KEY=VALUE",
                         help="override any params attribute post-load")
     args = parser.parse_args()
 
     import jax
+
+    if args.cpu:
+        # the axon sitecustomize sets jax_platforms via jax.config at
+        # startup, which beats the env var
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from slotdiffusion_tpu.data import DataLoader, build_dataset
