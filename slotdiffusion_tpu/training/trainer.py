@@ -193,6 +193,18 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _init_state(self, sample_batch):
+        state = self._init_state_pure(sample_batch)
+        # lay the state out over the mesh: replicated on a pure-data mesh;
+        # TP param leaves (and their mirrored optimizer/EMA buffers) shard
+        # over the `model` axis when it is >1 (parallel/tp.py rules)
+        return jax.device_put(state, self._state_shardings(state))
+
+    def _init_state_pure(self, sample_batch):
+        """Build the TrainState pytree with no device placement.
+
+        Kept side-effect-free w.r.t. devices so AOT topology sizing can
+        run it under `jax.eval_shape` (parallel/aot.py) against abstract
+        meshes that have no addressable hardware behind them."""
         rng = jax.random.PRNGKey(self.seed)
         init_rngs = {n: jax.random.fold_in(rng, i)
                      for i, n in enumerate(("params",) + self.rng_names)}
@@ -225,17 +237,13 @@ class Trainer:
         opt_state = self.tx.init(params)
         ema = ExponentialMovingAverage.create(
             params, decay=self.ema_decay) if self.use_ema else None
-        state = TrainState(
+        return TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=opt_state,
             ema=ema,
             rng=rng,
         )
-        # lay the state out over the mesh: replicated on a pure-data mesh;
-        # TP param leaves (and their mirrored optimizer/EMA buffers) shard
-        # over the `model` axis when it is >1 (parallel/tp.py rules)
-        return jax.device_put(state, self._state_shardings(state))
 
     def _state_shardings(self, state):
         """Sharding tree for a TrainState over self.mesh (cached per
