@@ -8,7 +8,7 @@ Chain (after the savi_ldm long3 soak):
         --params configs/savi_ldm_synthetic_long3-res64.py \
         --weight checkpoint/savi_ldm_synthetic_long3-res64/ckpt_final \
         --save_path checkpoint/savi_ldm_synthetic_long3-res64/slots_synthetic_big.pkl \
-        --bs 8 --set val_samples=256
+        --bs 8 --seq_len 8 --set val_samples=256
     python scripts/rollout_physion_slots.py \
         --params configs/ldmslotformer_synthetic_long3-res64.py \
         --weight checkpoint/ldmslotformer_synthetic_long3-res64/ckpt_final \
