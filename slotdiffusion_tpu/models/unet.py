@@ -414,11 +414,51 @@ class Upsample(nn.Module):
         return x
 
 
+@jax.custom_vjp
+def _conv3x3_bf16_acc_f32(x16, w16):
+    """3x3 SAME conv: bf16 operands, f32 accumulation/output.
+
+    JAX's conv transpose rule rejects the mixed (f32 cotangent, bf16
+    operand) pair that `preferred_element_type=f32` produces under AD, so
+    the backward is supplied explicitly: gradients are computed by the
+    plain bf16 conv VJP on a bf16-cast cotangent — exactly torch AMP's
+    backward (autocast runs grad convs in half precision too). The
+    forward is byte-identical to the pre-custom_vjp program.
+    """
+    dn = jax.lax.conv_dimension_numbers(
+        x16.shape, w16.shape, ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        x16, w16, (1, 1), "SAME", dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+
+
+def _conv3x3_bf16_fwd(x16, w16):
+    return _conv3x3_bf16_acc_f32(x16, w16), (x16, w16)
+
+
+def _conv3x3_bf16_bwd(res, g):
+    x16, w16 = res
+    dn = jax.lax.conv_dimension_numbers(
+        x16.shape, w16.shape, ("NHWC", "HWIO", "NHWC"))
+
+    def conv16(a, b):
+        return jax.lax.conv_general_dilated(
+            a, b, (1, 1), "SAME", dimension_numbers=dn)
+
+    _, vjp = jax.vjp(conv16, x16, w16)
+    return vjp(g.astype(jnp.bfloat16))
+
+
+_conv3x3_bf16_acc_f32.defvjp(_conv3x3_bf16_fwd, _conv3x3_bf16_bwd)
+
+
 class _ConvOutBf16Acc(nn.Module):
     """Zero-init 3x3 output conv: bf16 operands, f32 accumulation/output.
 
     Param layout identical to nn.Conv (kernel/bias), so it swaps with the
-    f32 `conv_out` without checkpoint changes.
+    f32 `conv_out` without checkpoint changes. Differentiable: f32 master
+    weights get their gradient through the outer bf16 cast (torch-AMP
+    semantics), see `_conv3x3_bf16_acc_f32`.
     """
 
     features: int
@@ -430,12 +470,8 @@ class _ConvOutBf16Acc(nn.Module):
                        jnp.float32)
         b = self.param("bias", nn.initializers.zeros,
                        (self.features,), jnp.float32)
-        dn = jax.lax.conv_dimension_numbers(
-            x.shape, W.shape, ("NHWC", "HWIO", "NHWC"))
-        y = jax.lax.conv_general_dilated(
-            x.astype(jnp.bfloat16), W.astype(jnp.bfloat16), (1, 1),
-            "SAME", dimension_numbers=dn,
-            preferred_element_type=jnp.float32)
+        y = _conv3x3_bf16_acc_f32(
+            x.astype(jnp.bfloat16), W.astype(jnp.bfloat16))
         return y + b
 
 

@@ -78,3 +78,40 @@ def test_conv_out_bf16_acc_close_to_f32_conv():
     y_bf = np.asarray(a.apply(va, x))
     y_f32 = np.asarray(ref.apply(va, x))
     np.testing.assert_allclose(y_bf, y_f32, atol=0.05, rtol=0.05)
+
+def test_conv_out_bf16_acc_is_differentiable():
+    """The bf16-operand/f32-accumulate conv_out must be trainable with f32
+    master weights: JAX's conv transpose rejects the mixed (f32 cotangent,
+    bf16 operand) pair `preferred_element_type=f32` yields under AD, so a
+    custom_vjp supplies the torch-AMP backward (grad convs in bf16).
+    Checks grads exist, are f32, nonzero, and match an all-f32 conv's
+    grads to bf16 rounding tolerance."""
+    import numpy as np
+    from flax import linen as nn
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 6, 8))
+    g_out = jax.random.normal(jax.random.PRNGKey(3), (2, 6, 6, 3))
+    a = um._ConvOutBf16Acc(3)
+    k = jax.random.normal(jax.random.PRNGKey(2), (3, 3, 8, 3)) * 0.1
+    va = {"params": {"kernel": k, "bias": jnp.zeros((3,))}}
+
+    def loss_a(v, xx):
+        return jnp.sum(a.apply(v, xx) * g_out)
+
+    (dva, dx) = jax.grad(loss_a, argnums=(0, 1))(va, x)
+    ref = nn.Conv(3, (3, 3), dtype=jnp.float32)
+
+    def loss_r(v, xx):
+        return jnp.sum(ref.apply(v, xx) * g_out)
+
+    (dvr, dxr) = jax.grad(loss_r, argnums=(0, 1))(va, x)
+    dk = dva["params"]["kernel"]
+    assert dk.dtype == jnp.float32 and bool(jnp.any(dk != 0))
+    np.testing.assert_allclose(np.asarray(dk),
+                               np.asarray(dvr["params"]["kernel"]),
+                               atol=0.05, rtol=0.05)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dxr),
+                               atol=0.05, rtol=0.05)
+    np.testing.assert_allclose(np.asarray(dva["params"]["bias"]),
+                               np.asarray(dvr["params"]["bias"]),
+                               atol=1e-4, rtol=1e-4)
