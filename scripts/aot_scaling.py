@@ -33,21 +33,43 @@ from slotdiffusion_tpu.parallel import aot  # noqa: E402
 from slotdiffusion_tpu.utils.config import load_params  # noqa: E402
 
 
-def run_matrix(params_path, topos, per_replica_batch):
+def run_matrix(params_path, topos, per_replica_batch, plan_filter,
+               jsonl_path):
+    """One compile per (topology, plan); each finished row is appended to
+    `jsonl_path` immediately (a flagship-scale AOT compile is ~45 min on
+    this 1-core host, so partial progress must survive a kill) and rows
+    already present there are skipped on rerun."""
+    done = {}
+    if jsonl_path and os.path.exists(jsonl_path):
+        with open(jsonl_path) as f:
+            for line in f:
+                r = json.loads(line)
+                done[(r["topology"], r["plan_kind"])] = r
     rows = []
     for topo in topos:
         n = len(aot.topology_devices(topo))
-        plans = [dict(model_axis=1, fsdp=False)]
+        plans = [("dp", dict(model_axis=1, fsdp=False))]
         if n >= 4:
-            plans.append(dict(model_axis=2, fsdp=False))
-        plans.append(dict(model_axis=1, fsdp=True))
-        for plan in plans:
+            plans.append(("tp2", dict(model_axis=2, fsdp=False)))
+        plans.append(("fsdp", dict(model_axis=1, fsdp=True)))
+        for kind, plan in plans:
+            if plan_filter and kind not in plan_filter:
+                continue
+            if (topo, kind) in done:
+                rows.append(done[(topo, kind)])
+                print(f"[{topo} {kind}] cached from {jsonl_path}",
+                      flush=True)
+                continue
             cfg = load_params(params_path)  # fresh copy per compile
             t0 = time.time()
             rep = aot.compile_train_step(
                 cfg, topo, per_replica_batch=per_replica_batch, **plan)
             rep["compile_s"] = round(time.time() - t0, 1)
+            rep["plan_kind"] = kind
             rows.append(rep)
+            if jsonl_path:
+                with open(jsonl_path, "a") as f:
+                    f.write(json.dumps(rep) + "\n")
             print(f"[{topo} {rep['plan']}] state/chip="
                   f"{rep['state_per_chip'] / 1024**2:.1f}MB temp/chip="
                   f"{rep['temp_per_chip'] / 1024**2:.1f}MB peak="
@@ -86,11 +108,19 @@ def main():
     ap.add_argument("--topos", default="v5e:2x4,v5e:4x4,v5e:4x8")
     ap.add_argument("--per_replica_batch", type=int, default=8)
     ap.add_argument("--out", default="docs/aot_scaling.json")
+    ap.add_argument("--plans", default="",
+                    help="comma filter of plan kinds (dp,tp2,fsdp); "
+                         "empty = all")
+    ap.add_argument("--no_invariants", action="store_true",
+                    help="skip cross-plan asserts (partial matrix)")
     args = ap.parse_args()
 
+    plan_filter = [p for p in args.plans.split(",") if p]
     rows = run_matrix(args.params, args.topos.split(","),
-                      args.per_replica_batch)
-    check_invariants(rows)
+                      args.per_replica_batch, plan_filter,
+                      args.out + "l")  # docs/aot_scaling.jsonl
+    if not args.no_invariants:
+        check_invariants(rows)
     with open(args.out, "w") as f:
         json.dump(rows, f, indent=1)
     print(aot.format_table(rows))
