@@ -92,7 +92,14 @@ def main():
         row = dict(remat=remat, bs=B, latent=args.latent, ch=args.ch)
         if not args.run:
             lowered = train_chain.lower(params, opt_state, x0, eps, 1)
-            ma = lowered.compile().memory_analysis()
+            try:
+                ma = lowered.compile().memory_analysis()
+            except Exception as e:  # compile-time HBM OOM is a result
+                row.update(status=f"compile OOM: {type(e).__name__}",
+                           detail=str(e).split("\n")[0][:200])
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+                continue
             row.update(
                 temp_gb=round(ma.temp_size_in_bytes / 1024**3, 3),
                 arg_gb=round(ma.argument_size_in_bytes / 1024**3, 3))
